@@ -1,0 +1,26 @@
+"""volt_tpu — a TPU-native Gaussian-process forecasting framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Volt
+reference library (volatility-based kernels and moving-average means for
+stochastic time-series forecasting): a two-stage hierarchical GP —
+
+1. **GPCV**: a variational GP with a Brownian-motion kernel and a
+   heteroscedastic volatility likelihood infers a latent volatility path
+   from observed returns.
+2. **Volt**: an exact GP over log-prices whose covariance is the time
+   integral of the squared volatility path, with optional "Magpie"
+   moving-average mean functions, forecast by Monte-Carlo rollouts that
+   can feed option pricing.
+
+Design stance (SURVEY.md §7): kernels/means/likelihoods are pure functions
+over pytrees of unconstrained parameters; models are immutable parameter
+structs plus pure ``mll`` / ``posterior`` / ``sample`` functions; training is
+``optax`` under ``jit``; batching is ``vmap``; scale-out is sharding
+annotations over a device mesh, not hand-written communication.
+"""
+
+__version__ = "0.1.0"
+
+from . import ops
+
+__all__ = ["ops", "__version__"]

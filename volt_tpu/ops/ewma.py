@@ -1,0 +1,98 @@
+"""Exponentially-weighted moving-average primitives ("Magpie" means).
+
+The reference computes a *truncated, renormalized* EWMA with a k-tap
+``Conv1d``: weights ``alpha * (1 - alpha)**i`` (newest-first), normalized to
+sum to one, applied to the series left-padded with ``k`` copies of its first
+value (reference ``means/EWMA.py:20-37``).  The output therefore has length
+``T + 1``: entry ``j`` is the weighted average of the window *ending at*
+``y[j-1]`` (entry 0 is pure padding, i.e. ``y[0]``) — a causal one-step-ahead
+moving-average forecast.
+
+Two TPU-native forms are provided:
+
+* :func:`ewma` — the full filter as an XLA depthwise convolution (used when
+  fitting, where the whole train-mean vector is needed at once).
+* a rolling-window *scan state* (:func:`window_init` / :func:`window_append`
+  / :func:`window_value`) — O(k) per step, used inside the ``lax.scan``
+  autoregressive rollout where the reference re-convolves the entire growing
+  series every step (``rollout_utils.py:80-86``).  Because the filter is
+  truncated at ``k`` taps, the last filter output depends only on the last
+  ``k`` padded values, so the two forms agree exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "ewma_weights",
+    "ewma",
+    "window_init",
+    "window_append",
+    "window_value",
+]
+
+
+def ewma_weights(k: int, dtype=jnp.float32):
+    """Normalized truncated-EWMA taps, oldest-first (matches the conv layout).
+
+    ``w[i] = alpha * (1 - alpha)**(k - 1 - i) / Z`` with ``alpha = 2/(k+1)``.
+    """
+    alpha = 2.0 / (k + 1)
+    w = alpha * (1.0 - alpha) ** jnp.arange(k - 1, -1, -1, dtype=jnp.float64)
+    w = w / jnp.sum(w)
+    return w.astype(dtype)
+
+
+def _pad_left(y, k: int):
+    """Left-pad the series with ``k`` copies of its first value."""
+    first = y[..., :1]
+    pad = jnp.broadcast_to(first, (*y.shape[:-1], k))
+    return jnp.concatenate([pad, y], axis=-1)
+
+
+def ewma(y, k: int):
+    """Truncated EWMA filter.  ``(..., T) -> (..., T + 1)``.
+
+    Matches the reference ``EWMA(y, k)`` exactly: output ``j`` is the
+    weighted mean of ``padded[j : j + k]``, i.e. the window ending at
+    ``y[j - 1]``.
+    """
+    y = jnp.asarray(y)
+    w = ewma_weights(k, y.dtype)
+    padded = _pad_left(y, k)
+    batch_shape = padded.shape[:-1]
+    length = padded.shape[-1]
+    lhs = padded.reshape((-1, 1, length))
+    rhs = w.reshape((1, 1, k))
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,
+    )
+    return out.reshape((*batch_shape, y.shape[-1] + 1))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window scan state: the O(k)-per-step rollout form.
+# ---------------------------------------------------------------------------
+
+
+def window_init(y, k: int):
+    """Last ``k`` values of the padded series — the state whose weighted sum
+    is ``ewma(y, k)[..., -1]``."""
+    return _pad_left(jnp.asarray(y), k)[..., -k:]
+
+
+def window_append(buf, value):
+    """Shift the window left by one and append ``value`` (shape ``(...,)``)."""
+    return jnp.concatenate([buf[..., 1:], value[..., None]], axis=-1)
+
+
+def window_value(buf, w):
+    """Weighted window sum — equals the last output of the full filter."""
+    return jnp.einsum("...k,k->...", buf, w, precision=lax.Precision.HIGHEST)
