@@ -1,0 +1,172 @@
+"""Likelihood implementations."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.constraints import GreaterThan, Interval, Positive
+from ..ops.quadrature import DEFAULT_NUM_LOCS, expected_value
+
+__all__ = [
+    "GaussianLikelihood",
+    "MultitaskGaussianLikelihood",
+    "VolatilityGaussianLikelihood",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class GaussianLikelihood:
+    """Homoskedastic Gaussian noise.
+
+    ``noise = softplus(raw_noise) + 1e-4`` (gpytorch's default
+    ``GreaterThan(1e-4)`` constraint).  ``raw_noise`` inits to 0, i.e.
+    ``noise ~= 0.6932`` — and note the reference's two "noise pins":
+
+    * ``lh.raw_noise.data = 1e-5`` (``train_utils.py:107``) sets the *raw*
+      value, leaving noise at ~0.6932;
+    * ``vol_lh.noise.data = 1e-2`` (``train_utils.py:71``) mutates a
+      *computed* tensor and is a silent no-op in the reference.
+
+    Both are replicated by initializing ``raw_noise`` accordingly (pass
+    ``raw_noise_init``).
+    """
+
+    def __init__(self, batch_shape: tuple = (), noise_constraint=None):
+        self.batch_shape = tuple(batch_shape)
+        self.constraint = noise_constraint or GreaterThan(1e-4)
+
+    def init(self, dtype=jnp.float32, raw_noise_init: float = 0.0):
+        return {
+            "raw_noise": jnp.full((*self.batch_shape, 1), raw_noise_init, dtype)
+        }
+
+    def init_with_noise(self, noise: float, dtype=jnp.float32):
+        """Init from a *transformed* noise value (the working setter path)."""
+        raw = self.constraint.inverse(noise)
+        return {"raw_noise": jnp.full((*self.batch_shape, 1), raw, dtype)}
+
+    def noise(self, params):
+        return self.constraint.forward(params["raw_noise"])
+
+    def marginal_covariance(self, params, cov):
+        """``K + sigma^2 I`` over the trailing two dims."""
+        n = cov.shape[-1]
+        noise = self.noise(params)[..., 0]
+        return cov + noise[..., None, None] * jnp.eye(n, dtype=cov.dtype)
+
+    def log_prob(self, params, y, f):
+        noise = self.noise(params)
+        return -0.5 * ((y - f) ** 2 / noise + jnp.log(noise) + _LOG_2PI)
+
+
+class MultitaskGaussianLikelihood(GaussianLikelihood):
+    """Global noise shared across ``num_tasks`` outputs.
+
+    The reference uses gpytorch's ``MultitaskGaussianLikelihood`` with
+    ``noise = 1e-3`` set through the (working) property setter
+    (``models/VoltronGP.py:47-48``).
+    """
+
+    def __init__(self, num_tasks: int, batch_shape: tuple = ()):
+        super().__init__(batch_shape=batch_shape)
+        self.num_tasks = num_tasks
+
+
+class VolatilityGaussianLikelihood:
+    """Heteroscedastic volatility observation model: ``y ~ N(0, scale(f))``.
+
+    Parameterizations (reference ``likelihoods/volatility_likelihood.py``):
+
+    * ``"cv"`` — Wilson & Ghahramani copula-process form:
+      ``scale = sum_k a_k * log(1 + exp(b_k f + c_k))`` with ``K=5``
+      constrained parameter triplets (``a`` positive, ``b`` in (0, 3),
+      ``c`` in (-3, 3); random uniform init).
+    * ``"exp"`` — ``scale = exp(f)`` (no learnable parameters).
+
+    ``scale`` is clamped at ``1e-3`` in both cases.  ``expected_log_prob``
+    marginalizes over ``f ~ N(mean, var)`` by Gauss–Hermite quadrature
+    (75 nodes by default, matching ``train_utils.py:52``).
+    """
+
+    def __init__(self, K: int = 5, batch_shape: tuple = (), param: str = "cv"):
+        if param not in ("cv", "exp"):
+            raise ValueError("param must be 'cv' or 'exp'")
+        self.K = K
+        self.batch_shape = tuple(batch_shape)
+        self.param = param
+        self.a_constraint = Positive()
+        self.b_constraint = Interval(0.0, 3.0)
+        self.c_constraint = Interval(-3.0, 3.0)
+
+    def init(self, dtype=jnp.float32, key=None):
+        if self.param == "exp":
+            return {}
+        if key is None:
+            key = jax.random.key(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        shape = (*self.batch_shape, self.K)
+        return {
+            "raw_a": jax.random.uniform(k1, shape, dtype),
+            "raw_b": 0.1 * jax.random.uniform(k2, shape, dtype),
+            "raw_c": jax.random.uniform(k3, shape, dtype),
+        }
+
+    def trans_a(self, params):
+        return self.a_constraint.forward(params["raw_a"])
+
+    def trans_b(self, params):
+        return self.b_constraint.forward(params["raw_b"])
+
+    def trans_c(self, params):
+        return self.c_constraint.forward(params["raw_c"])
+
+    def scale(self, params, f):
+        """Observation scale (std) as a function of the latent ``f``."""
+        if self.param == "cv":
+            t = jnp.log1p(
+                jnp.exp(
+                    self.trans_b(params) * f[..., None] + self.trans_c(params)
+                )
+            ) * self.trans_a(params)
+            s = jnp.sum(t, axis=-1)
+        else:
+            s = jnp.exp(f)
+        return jnp.clip(s, min=1e-3)
+
+    def log_prob(self, params, y, f):
+        """``log N(y; 0, scale(f)^2)`` elementwise."""
+        s = self.scale(params, f)
+        return -0.5 * (y / s) ** 2 - jnp.log(s) - 0.5 * _LOG_2PI
+
+    def expected_log_prob(self, params, y, mean, var,
+                          num_locs: int = DEFAULT_NUM_LOCS):
+        """``E_{f ~ N(mean, var)}[log p(y | f)]`` by GH quadrature."""
+        return expected_value(
+            lambda f: self.log_prob(params, y, f), mean, var, num_locs
+        )
+
+    def expected_scale(self, params, mean, var, mc_samples: int | None = None,
+                       key=None):
+        """Posterior-mean predicted scale ``E_f[scale(f)]``.
+
+        The reference estimates this with 10 Monte-Carlo samples of ``f``
+        (gpytorch's default likelihood marginal, ``train_utils.py:62-67``);
+        pass ``mc_samples`` to replicate that estimator.  The default is the
+        deterministic Gauss–Hermite expectation (for ``"exp"`` this is the
+        exact log-normal mean ``exp(mean + var/2)`` up to the 1e-3 clamp).
+        """
+        if mc_samples is not None:
+            if key is None:
+                key = jax.random.key(0)
+            f = (
+                jax.random.normal(key, (mc_samples, *jnp.shape(mean)),
+                                  jnp.result_type(mean))
+                * jnp.sqrt(var)
+                + mean
+            )
+            return jnp.mean(self.scale(params, f), axis=0)
+        return expected_value(lambda f: self.scale(params, f), mean, var)

@@ -22,7 +22,10 @@ Two TPU-native forms are provided:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -34,15 +37,20 @@ __all__ = [
 ]
 
 
+@lru_cache(maxsize=64)
+def _ewma_weights_np(k: int):
+    alpha = 2.0 / (k + 1)
+    w = alpha * (1.0 - alpha) ** np.arange(k - 1, -1, -1, dtype=np.float64)
+    return w / w.sum()
+
+
 def ewma_weights(k: int, dtype=jnp.float32):
     """Normalized truncated-EWMA taps, oldest-first (matches the conv layout).
 
-    ``w[i] = alpha * (1 - alpha)**(k - 1 - i) / Z`` with ``alpha = 2/(k+1)``.
+    ``w[i] = alpha * (1 - alpha)**(k - 1 - i) / Z`` with ``alpha = 2/(k+1)``;
+    computed on the host in float64, baked into the graph as a constant.
     """
-    alpha = 2.0 / (k + 1)
-    w = alpha * (1.0 - alpha) ** jnp.arange(k - 1, -1, -1, dtype=jnp.float64)
-    w = w / jnp.sum(w)
-    return w.astype(dtype)
+    return jnp.asarray(_ewma_weights_np(k), dtype=dtype)
 
 
 def _pad_left(y, k: int):
