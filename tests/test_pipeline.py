@@ -1,0 +1,212 @@
+"""End-to-end pipeline tests on the synthetic SDE oracle (the reference's
+example.ipynb correctness protocol) and fast-vs-dense rollout parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu import (
+    learn_gpcv,
+    train_vol_model,
+    train_volt_magpie,
+    train_data_model,
+    generate_prediction,
+)
+from volt_tpu.data import sabr_paths
+from volt_tpu.rollouts import (
+    _rollout_volt_scan,
+    generate_prediction_dense,
+    rollouts,
+    rollouts_dense,
+    sample_vol_paths,
+)
+
+
+N = 120          # small grid keeps the dense O(n^3) oracle cheap
+HORIZON = 12
+DT = 1.0 / 252
+
+
+@pytest.fixture(scope="module")
+def sde():
+    f, v = sabr_paths(steps=N + 1, seed=2019)
+    train_y = jnp.asarray(f)                      # prices, length N+1
+    train_x = jnp.arange(N, dtype=jnp.float32) * DT
+    test_x = jnp.arange(HORIZON, dtype=jnp.float32) * DT + train_x[-1] + DT
+    return train_x, train_y, test_x, v
+
+
+@pytest.fixture(scope="module")
+def fitted(sde):
+    train_x, train_y, test_x, _ = sde
+    vol = learn_gpcv(train_x, train_y, train_iters=100)
+    vol_state = train_vol_model(train_x, vol, train_iters=100)
+    model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
+                              train_iters=50, k=25, mean_func="ewma")
+    return vol, vol_state, model
+
+
+class TestGPCV:
+    def test_recovers_volatility_scale(self, sde):
+        # The de-facto oracle: GPCV on SDE data with known V(t) should
+        # track it (loose tolerance — 100 iters, small n).
+        train_x, train_y, _, v_true = sde
+        vol = np.asarray(learn_gpcv(train_x, train_y, train_iters=300))
+        assert vol.shape == (N,)
+        assert np.isfinite(vol).all() and (vol > 0).all()
+        # compare medians within a factor ~2.5 of the truth
+        ratio = np.median(vol) / np.median(v_true[1:])
+        assert 0.4 < ratio < 2.5, ratio
+
+    def test_elbo_improves(self, sde):
+        train_x, train_y, _, _ = sde
+        from volt_tpu.models.gpcv import GPCVModel
+        from volt_tpu.train import scaled_returns, _fit_gpcv
+
+        yy = scaled_returns(train_x, train_y)
+        module = GPCVModel()
+        params = module.init(train_x, yy)
+        _, losses = _fit_gpcv(module, params, train_x, yy, 100, 0.01)
+        assert float(losses[-1]) < float(losses[0])
+
+
+class TestVolModel:
+    def test_mll_improves_and_state_usable(self, sde, fitted):
+        train_x, train_y, test_x, _ = sde
+        vol, vol_state, _ = fitted
+        mean, cov = vol_state.posterior(test_x)
+        assert mean.shape == (HORIZON,)
+        assert cov.shape == (HORIZON, HORIZON)
+        # posterior variance grows with horizon for a BM kernel
+        var = np.diag(np.asarray(cov))
+        assert var[-1] > var[0]
+
+    def test_vol_sampling_shapes(self, sde, fitted):
+        _, _, test_x, _ = sde
+        _, vol_state, _ = fitted
+        paths = sample_vol_paths(jax.random.key(1), vol_state, test_x, 7)
+        assert paths.shape == (7, HORIZON)
+        assert bool(jnp.all(paths > 0))
+
+
+class TestDataModel:
+    def test_magpie_loss_improves(self, sde):
+        train_x, train_y, _, _ = sde
+        from volt_tpu.models.volt import VoltGP, make_mean
+        from volt_tpu.train import _fit_volt
+
+        vol = learn_gpcv(train_x, train_y, train_iters=50)
+        module = VoltGP(mean=make_mean("ewma", k=25))
+        params = module.init()
+        log_y = jnp.log(train_y[1:])
+        params2, losses = _fit_volt(module, params, train_x, log_y, vol, 50,
+                                    0.1)
+        assert float(losses[-1]) < float(losses[0])
+
+    def test_fixed_cov_mll_matches_direct(self, sde, fitted):
+        # The eigendecomposition fast path must equal the dense MLL.
+        _, _, model = fitted
+        direct = float(model.mll())
+        cache = model.module.make_cov_cache(model.train_x,
+                                            jnp.exp(model.log_vol_path))
+        fast = float(model.module.mll_fixed_cov(model.params, cache,
+                                                model.train_x, model.train_y))
+        assert fast == pytest.approx(direct, rel=1e-3)
+
+    def test_loglinear_data_model(self, sde):
+        train_x, train_y, _, _ = sde
+        vol = learn_gpcv(train_x, train_y, train_iters=50)
+        vol_state = train_vol_model(train_x, vol, train_iters=50)
+        model = train_data_model(train_x, train_y[1:], vol_state, vol,
+                                 train_iters=50)
+        assert bool(jnp.all(jnp.isfinite(model.train_mean())))
+
+
+class TestRolloutParity:
+    """The Markov fast path vs the reference's dense algebra."""
+
+    def test_one_shot_matches_dense_conditional(self, fitted, sde):
+        # Same key => same samples only if the *distributions* match; here
+        # we compare means and covariances implied by each path.
+        _, _, test_x, _ = sde
+        _, _, model = fitted
+        # switch to a deterministic (constant) mean for one-shot support
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import ConstantMean
+
+        module = VoltGP(mean=ConstantMean())
+        params = {"mean": {"constant": jnp.asarray([2.0])},
+                  "likelihood": model.params["likelihood"]}
+        det_model = module.fit_state(params, model.train_x, model.train_y,
+                                     jnp.exp(model.log_vol_path),
+                                     model.vol_state)
+
+        pred_vol = sample_vol_paths(jax.random.key(5), model.vol_state,
+                                    test_x, 3)
+
+        # dense conditional oracle
+        dense = generate_prediction_dense(jax.random.key(7), det_model,
+                                          test_x, pred_vol, n_sample=4000)
+        fast = generate_prediction(jax.random.key(11), det_model, test_x,
+                                   pred_vol, n_sample=4000)
+        # moments over the sample axis must agree
+        np.testing.assert_allclose(
+            np.mean(np.asarray(dense), axis=-2),
+            np.mean(np.asarray(fast), axis=-2),
+            atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.std(np.asarray(dense), axis=-2),
+            np.std(np.asarray(fast), axis=-2),
+            rtol=0.15, atol=2e-3,
+        )
+
+    def test_autoregressive_matches_dense_stepwise(self, fitted, sde):
+        # Feed both paths the same vol paths; the dense loop draws its own
+        # z's, so compare conditional moments by running many paths with
+        # theta=None and checking the step-1 marginal statistics.
+        train_x, train_y, test_x, _ = sde
+        _, _, model = fitted
+
+        nsample = 1500
+        key = jax.random.key(42)
+        fast = rollouts(key, model, train_x, train_y, test_x,
+                        nsample=nsample)
+        dense = rollouts_dense(jax.random.key(43), model, train_x, train_y,
+                               test_x[:3], nsample=nsample)
+        assert fast.shape == (nsample, HORIZON)
+        assert dense.shape == (nsample, 3)
+        f = np.asarray(fast)[:, :3]
+        d = np.asarray(dense)
+        np.testing.assert_allclose(f.mean(0), d.mean(0), atol=4e-3)
+        np.testing.assert_allclose(f.std(0), d.std(0), rtol=0.12, atol=1e-3)
+
+    def test_rollout_with_theta(self, fitted, sde):
+        train_x, train_y, test_x, _ = sde
+        _, _, model = fitted
+        samples = rollouts(jax.random.key(0), model, train_x, train_y,
+                           test_x, nsample=64, theta=0.05)
+        assert samples.shape == (64, HORIZON)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+    def test_rollout_constant_mean(self, sde):
+        train_x, train_y, test_x, _ = sde
+        vol = learn_gpcv(train_x, train_y, train_iters=50)
+        vol_state = train_vol_model(train_x, vol, train_iters=50)
+        model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
+                                  train_iters=50, mean_func="constant")
+        samples = rollouts(jax.random.key(0), model, train_x, train_y,
+                           test_x, nsample=32, theta=0.01)
+        assert samples.shape == (32, HORIZON)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+    def test_forecasts_start_near_last_price(self, fitted, sde):
+        # Log-price forecasts should continue from the end of the series.
+        train_x, train_y, test_x, _ = sde
+        _, _, model = fitted
+        samples = rollouts(jax.random.key(3), model, train_x, train_y,
+                           test_x, nsample=400)
+        first = np.asarray(samples)[:, 0]
+        last_log = float(jnp.log(train_y[-1]))
+        assert abs(first.mean() - last_log) < 0.05

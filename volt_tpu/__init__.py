@@ -21,6 +21,39 @@ annotations over a device mesh, not hand-written communication.
 
 __version__ = "0.1.0"
 
-from . import ops
+from . import kernels, likelihoods, means, models, ops, rollouts, train
+from .rollouts import (
+    generate_prediction,
+    mean_prediction,
+    rollouts as Rollouts,
+    sample_prediction,
+    sample_vol_paths,
+)
+from .train import (
+    learn_gpcv,
+    train_basic_model,
+    train_data_model,
+    train_vol_model,
+    train_volt_magpie,
+)
 
-__all__ = ["ops", "__version__"]
+__all__ = [
+    "ops",
+    "kernels",
+    "means",
+    "likelihoods",
+    "models",
+    "train",
+    "rollouts",
+    "learn_gpcv",
+    "train_vol_model",
+    "train_data_model",
+    "train_volt_magpie",
+    "train_basic_model",
+    "generate_prediction",
+    "sample_prediction",
+    "mean_prediction",
+    "sample_vol_paths",
+    "Rollouts",
+    "__version__",
+]

@@ -1,0 +1,6 @@
+"""Data edge: synthetic SDE generation, ticker universes, market ingestion."""
+
+from .synthetic import sabr_paths
+from .tickers import make_ticker_list, ticker_file_path
+
+__all__ = ["sabr_paths", "make_ticker_list", "ticker_file_path"]

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from ..ops.constraints import GreaterThan, Interval, Positive
 from ..ops.volint import min_index_covariance, vol_integral
 
+from ..utils.static import ConfigEq
+
 __all__ = [
     "BMKernel",
     "FBMKernel",
@@ -48,7 +50,7 @@ def _as_grid(x):
     return x
 
 
-class BMKernel:
+class BMKernel(ConfigEq):
     """Brownian-motion covariance ``K(s, t) = vol * min(s, t)``.
 
     Parity: ``vol`` lives in ``Interval(0, 1)`` through a sigmoid transform
@@ -83,7 +85,7 @@ class BMKernel:
         return vol[..., None] * cov
 
 
-class FBMKernel:
+class FBMKernel(ConfigEq):
     """Fractional-Brownian-motion covariance with Hurst parameter ``vol``.
 
     ``K(s, t) = (|s|^{2H} + |t|^{2H} - |s - t|^{2H}) / 2`` with ``H`` stored
@@ -121,7 +123,7 @@ class FBMKernel:
         return cov
 
 
-class OUKernel:
+class OUKernel(ConfigEq):
     """Ornstein–Uhlenbeck / exponential kernel ``exp(-|s - t| / (2 l))``.
 
     Reference ``kernels/OUKernel.py:5-23`` divides the (non-squared)
@@ -155,7 +157,7 @@ class OUKernel:
         return jnp.exp(-d / 2.0)
 
 
-class VolatilityKernel:
+class VolatilityKernel(ConfigEq):
     """The Volt covariance: ``K[i, j] = CumTrapz(vol^2, x)[min(i, j)]``.
 
     The flagship kernel (reference ``kernels/VolKernel.py:12-42``).  It has
@@ -194,7 +196,7 @@ class VolatilityKernel:
         return vol_integral(_as_grid(x), _as_grid(vol_path))
 
 
-class RBFKernel:
+class RBFKernel(ConfigEq):
     """``exp(-(s - t)^2 / (2 l^2))`` with softplus-positive lengthscale."""
 
     def __init__(self, lengthscale: float = 0.6931, batch_shape: tuple = ()):
@@ -223,7 +225,7 @@ class RBFKernel:
         return jnp.exp(-0.5 * d * d)
 
 
-class MaternKernel:
+class MaternKernel(ConfigEq):
     """Matérn covariance (default ``nu = 2.5``, gpytorch's default)."""
 
     def __init__(self, nu: float = 2.5, lengthscale: float = 0.6931,
@@ -265,7 +267,7 @@ class MaternKernel:
         return self._from_dist(d)
 
 
-class ScaleKernel:
+class ScaleKernel(ConfigEq):
     """``outputscale * base_kernel`` (softplus-positive outputscale)."""
 
     def __init__(self, base_kernel, outputscale: float = 0.6931,
@@ -293,7 +295,7 @@ class ScaleKernel:
         return scale[(...,) + (None,) * extra] * base
 
 
-class SpectralMixtureKernel:
+class SpectralMixtureKernel(ConfigEq):
     """Spectral-mixture kernel (Wilson & Adams 2013), 1-D inputs.
 
     ``K(tau) = sum_q w_q exp(-2 pi^2 tau^2 s_q^2) cos(2 pi tau mu_q)``.
@@ -373,7 +375,7 @@ class SpectralMixtureKernel:
         return jnp.sum(w[..., None, None, :] * comp, axis=-1)
 
 
-class IndexKernel:
+class IndexKernel(ConfigEq):
     """Low-rank-plus-diagonal task covariance ``B = F F^T + diag(v)``.
 
     The task kernel of the Kronecker multitask models (reference

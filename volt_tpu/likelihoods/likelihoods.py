@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from ..ops.constraints import GreaterThan, Interval, Positive
 from ..ops.quadrature import DEFAULT_NUM_LOCS, expected_value
 
+from ..utils.static import ConfigEq
+
 __all__ = [
     "GaussianLikelihood",
     "MultitaskGaussianLikelihood",
@@ -19,7 +21,7 @@ __all__ = [
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-class GaussianLikelihood:
+class GaussianLikelihood(ConfigEq):
     """Homoskedastic Gaussian noise.
 
     ``noise = softplus(raw_noise) + 1e-4`` (gpytorch's default
@@ -76,7 +78,7 @@ class MultitaskGaussianLikelihood(GaussianLikelihood):
         self.num_tasks = num_tasks
 
 
-class VolatilityGaussianLikelihood:
+class VolatilityGaussianLikelihood(ConfigEq):
     """Heteroscedastic volatility observation model: ``y ~ N(0, scale(f))``.
 
     Parameterizations (reference ``likelihoods/volatility_likelihood.py``):

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from ..ops.ewma import ewma, ewma_weights, window_append, window_init, window_value
 
+from ..utils.static import ConfigEq
+
 __all__ = [
     "ConstantMean",
     "LinearMean",
@@ -34,7 +36,7 @@ def _as_grid(x):
 # ---------------------------------------------------------------------------
 
 
-class ConstantMean:
+class ConstantMean(ConfigEq):
     """Learnable constant (init 0, matching gpytorch's ``ConstantMean``)."""
 
     is_history_dependent = False
@@ -55,7 +57,7 @@ class ConstantMean:
         )
 
 
-class LinearMean:
+class LinearMean(ConfigEq):
     """``m(x) = x @ w + b`` with randn init (gpytorch ``LinearMean`` parity)."""
 
     is_history_dependent = False
@@ -109,7 +111,7 @@ class LogLinearMean(LinearMean):
         return jnp.log(jnp.clip(self._linear(params, x), min=1e-6))
 
 
-class MulIdentityMean:
+class MulIdentityMean(ConfigEq):
     """``m(x) = c * x`` with learnable scalar ``c`` (init 0)."""
 
     is_history_dependent = False
@@ -130,7 +132,7 @@ class MulIdentityMean:
 # ---------------------------------------------------------------------------
 
 
-class EWMAMean:
+class EWMAMean(ConfigEq):
     """Truncated EWMA mean (reference ``means/EWMA.py:40-54``)."""
 
     is_history_dependent = True

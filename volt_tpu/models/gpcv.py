@@ -1,0 +1,118 @@
+"""GPCV: the stage-1 variational volatility model.
+
+A variational GP with a BM/FBM kernel, constant mean, unwhitened strategy,
+inducing points fixed at the training inputs, and the heteroscedastic
+volatility likelihood (reference ``models/single_task_variational_gp.py``
+as configured by ``train_utils.py:20-31``).  Training maximizes the
+Gauss–Hermite ELBO; the output of the stage is the posterior-mean predicted
+scale — the inferred volatility path.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from ..gp.variational import (
+    VariationalState,
+    elbo_at_inducing,
+    laplace_initialize,
+    variational_predict,
+)
+from ..kernels import BMKernel, FBMKernel
+from ..likelihoods import VolatilityGaussianLikelihood
+from ..means import ConstantMean
+from ..ops.quadrature import DEFAULT_NUM_LOCS
+from ..utils.static import ConfigEq
+
+__all__ = ["GPCVModel", "GPCVState"]
+
+
+@struct.dataclass
+class GPCVState:
+    module: "GPCVModel" = struct.field(pytree_node=False)
+    params: dict
+    train_x: jax.Array
+    targets: jax.Array  # scaled returns
+
+    def predicted_scale(self, mc_samples=None, key=None):
+        return self.module.predicted_scale(
+            self.params, self.train_x, mc_samples=mc_samples, key=key
+        )
+
+
+class GPCVModel(ConfigEq):
+    def __init__(self, kernel: str = "bm", param: str = "exp",
+                 num_locs: int = DEFAULT_NUM_LOCS):
+        if kernel == "bm":
+            self.kernel = BMKernel()
+        elif kernel == "fbm":
+            self.kernel = FBMKernel()
+        else:
+            raise ValueError("kernel must be 'bm' or 'fbm'")
+        self.mean = ConstantMean()
+        self.likelihood = VolatilityGaussianLikelihood(param=param)
+        self.num_locs = num_locs
+
+    def init(self, train_x, y, key=None, dtype=jnp.float32):
+        """Laplace-style init (reference ``train_utils.py:31``)."""
+        kernel_params = self.kernel.init(dtype)
+        kuu = self.kernel(kernel_params, train_x)
+        var_state, mean_const = laplace_initialize(kuu, y)
+        return {
+            "kernel": kernel_params,
+            "mean": {"constant": mean_const[..., None]},
+            "likelihood": self.likelihood.init(dtype, key=key),
+            "variational_mean": var_state.variational_mean,
+            "chol_variational_covar": var_state.chol_variational_covar,
+        }
+
+    def _var_state(self, params):
+        return VariationalState(
+            variational_mean=params["variational_mean"],
+            chol_variational_covar=params["chol_variational_covar"],
+        )
+
+    def elbo(self, params, train_x, y):
+        """Variational ELBO at inducing == train == query points."""
+        kuu = self.kernel(params["kernel"], train_x)
+        prior_mean = self.mean(params["mean"], train_x)
+
+        def ell(yy, mean, var):
+            return self.likelihood.expected_log_prob(
+                params["likelihood"], yy, mean, var, num_locs=self.num_locs
+            )
+
+        return elbo_at_inducing(self._var_state(params), prior_mean, kuu, y,
+                                ell)
+
+    def latent_marginals(self, params, train_x, test_x=None):
+        """Posterior marginals of the latent ``f``.
+
+        At the training inputs this is ``q`` itself (the unwhitened
+        strategy's short-circuit); at new points the unwhitened predictive.
+        """
+        state = self._var_state(params)
+        if test_x is None:
+            chol_q = jnp.tril(state.chol_variational_covar)
+            return state.variational_mean, jnp.sum(chol_q * chol_q, axis=-1)
+        kuu = self.kernel(params["kernel"], train_x)
+        kux = self.kernel(params["kernel"], train_x, test_x)
+        kxx_diag = self.kernel(params["kernel"], test_x, diag=True)
+        prior_u = self.mean(params["mean"], train_x)
+        prior_x = self.mean(params["mean"], test_x)
+        return variational_predict(state, prior_u, kuu, kux, prior_x,
+                                   kxx_diag=kxx_diag)
+
+    def predicted_scale(self, params, train_x, test_x=None, mc_samples=None,
+                        key=None):
+        """The stage output: ``E_f[scale(f)]`` at the query points.
+
+        Reference ``train_utils.py:62-67`` (10-sample MC there; analytic
+        Gauss–Hermite here unless ``mc_samples`` is given).
+        """
+        mean, var = self.latent_marginals(params, train_x, test_x)
+        return self.likelihood.expected_scale(
+            params["likelihood"], mean, var, mc_samples=mc_samples, key=key
+        )

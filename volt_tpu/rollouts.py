@@ -1,0 +1,345 @@
+"""Monte-Carlo forecasting: autoregressive rollouts and one-shot sampling.
+
+This is the reference's hot loop (``rollout_utils.py``): at every step of
+the horizon it concatenates the sampled history onto the train set, builds
+the full joint covariance, and re-factorizes it — O((n + t)^3) per step,
+per path (``rollout_utils.py:26,35``).
+
+The TPU-native path exploits the *min-index* structure of the volatility
+kernel: ``K[i, j] = v[min(i, j)]`` is the covariance of a time-changed
+Brownian motion, so conditioning on the past collapses to the Markov
+property — the conditional of the next point given the entire sampled
+history is
+
+    ``mean = m(test_t) + (y_last - m_train_last)``
+    ``var  = v[t] - v[t-1]``  (the *endpoint-halved* increment
+    ``dx/2 * vol_t^2``, reproducing the reference's ``CumTrapz``
+    last-weight rule on the growing grid)
+
+exactly — the same Gaussian the reference's dense solve produces, at O(1)
+per step per path.  The whole rollout becomes a single ``lax.scan`` over
+the horizon, vectorized over sample paths, with the Magpie means updated
+through their O(k) rolling-window scan states.  ``*_dense`` variants
+replicate the reference's dense algebra and back the parity tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .kernels import VolatilityKernel
+from .means import MeanRevertingEMAMean
+from .models.volt import VoltState
+from .ops.mvn import conditional, sample_mvn
+
+__all__ = [
+    "sample_vol_paths",
+    "rollouts",
+    "generate_prediction",
+    "sample_prediction",
+    "mean_prediction",
+    "generate_prediction_dense",
+    "rollouts_dense",
+]
+
+
+def sample_vol_paths(key, vol_state, test_x, nsample: int):
+    """``nsample`` joint vol forecasts: ``exp`` of posterior samples of the
+    log-vol GP at ``test_x`` (reference ``rollout_utils.py:66``)."""
+    log_paths = vol_state.sample(key, test_x, (nsample,))
+    return jnp.exp(log_paths)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive rollout — Markov fast path
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("use_theta",))
+def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
+                       use_theta, theta):
+    """The Markov rollout core; ``pred_vol``/``zs`` are ``(S, H)``."""
+    mean_mod = model.module.mean
+    mean_params = model.params["mean"]
+    y = model.train_y  # (L,) log prices on the model grid
+    dx = model.train_x[..., 1] - model.train_x[..., 0]
+    h = test_x.shape[-1]
+    nsample = pred_vol.shape[0]
+
+    # (S, H) conditional std devs: endpoint-halved increment per step.
+    sds = jnp.sqrt(0.5 * dx) * pred_vol
+
+    hist = mean_mod.is_history_dependent
+    if hist:
+        state0 = mean_mod.scan_init(mean_params, y)
+        state0 = jax.tree.map(
+            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), state0
+        )
+        m_prev0 = mean_mod.train_values(mean_params, y)[..., -1]
+        m_det = jnp.zeros((h,), y.dtype)  # unused
+    else:
+        state0 = {}
+        m_prev0 = mean_mod(mean_params, model.train_x)[..., -1]
+        m_det = mean_mod(mean_params, test_x)
+
+    y_prev0 = y[..., -1]
+    carry0 = (
+        state0,
+        jnp.broadcast_to(y_prev0, (nsample,)),
+        jnp.broadcast_to(m_prev0, (nsample,)),
+    )
+
+    def body(carry, inp):
+        state, y_prev, m_prev = carry
+        sd_t, z_t, m_det_t = inp
+        if hist:
+            m_t = mean_mod.scan_value(mean_params, state)
+        else:
+            m_t = jnp.broadcast_to(m_det_t, y_prev.shape)
+        pred_mean = m_t + (y_prev - m_prev)
+        if use_theta:
+            pred_mean = pred_mean - theta * (pred_mean - latent_mean)
+        y_t = pred_mean + sd_t * z_t
+        if hist:
+            state = mean_mod.scan_append(mean_params, state, y_t)
+        return (state, y_t, m_t), y_t
+
+    _, samples = lax.scan(body, carry0, (sds.T, zs.T, m_det))
+    return samples.T  # (S, H)
+
+
+def _rollout_volt(key, model: VoltState, latent_mean, test_x, nsample,
+                  use_theta, theta):
+    k_vol, k_z = jax.random.split(key)
+    pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample)
+    zs = jax.random.normal(
+        k_z, (nsample, test_x.shape[-1]), model.train_y.dtype
+    )
+    return _rollout_volt_scan(model, latent_mean, test_x, pred_vol, zs,
+                              use_theta, theta)
+
+
+def rollouts(key, model: VoltState, train_x, train_y, test_x,
+             nsample: int = 50, method: str = "volt", theta=None):
+    """Autoregressive MC forecast (reference ``Rollouts``,
+    ``rollout_utils.py:57-93``).
+
+    ``train_y`` is the *full* price series (one longer than the model grid,
+    exactly like the reference call sites); it is used only for the
+    mean-reversion latent mean ``mean(log(train_y))``.  Returns log-price
+    samples ``(nsample, H)``.
+    """
+    del train_x  # the model state carries its grid; kept for API parity
+    if method != "volt":
+        raise NotImplementedError(
+            "non-volt rollouts live in volt_tpu.rollouts.nonvol_rollouts"
+        )
+    use_theta = theta is not None
+    latent_mean = (
+        jnp.mean(jnp.log(jnp.asarray(train_y))) if use_theta else jnp.float32(0)
+    )
+    return _rollout_volt(key, model, latent_mean, jnp.asarray(test_x),
+                         int(nsample), use_theta,
+                         jnp.float32(theta if use_theta else 0.0))
+
+
+# ---------------------------------------------------------------------------
+# One-shot prediction (non-autoregressive), deterministic means
+# ---------------------------------------------------------------------------
+
+
+def _joint_integral_increments(model: VoltState, test_x, pred_vol):
+    """Per-test-point increments of the CumTrapz integral on the joint grid.
+
+    Full weight ``dx`` everywhere except the joint grid's last point, which
+    is halved — the reference's endpoint rule (``VolKernel.py:4-10``) on the
+    ``[train; test]`` grid.
+    """
+    dx = model.train_x[..., 1] - model.train_x[..., 0]
+    h = test_x.shape[-1]
+    w = jnp.full((h,), dx, pred_vol.dtype).at[-1].set(0.5 * dx)
+    return w * pred_vol * pred_vol
+
+
+@partial(jax.jit, static_argnames=("n_sample", "use_theta"))
+def _generate_prediction(key, model: VoltState, test_x, pred_vol, n_sample,
+                         latent_mean, use_theta, theta):
+    mean_mod = model.module.mean
+    if mean_mod.is_history_dependent:
+        raise ValueError(
+            "one-shot prediction requires a deterministic mean (the "
+            "reference routes Magpie means through Rollouts; "
+            "GenerateMultiMeanPreds.py:110-119)"
+        )
+    mean_params = model.params["mean"]
+    m_train_last = mean_mod(mean_params, model.train_x)[..., -1]
+    r_last = model.train_y[..., -1] - m_train_last
+    m_test = mean_mod(mean_params, test_x)
+
+    pred_mean = m_test + r_last  # Markov conditional mean, all test points
+    if use_theta:
+        pred_mean = pred_mean - theta * (pred_mean - latent_mean)
+
+    incs = _joint_integral_increments(model, test_x, pred_vol)
+    batch = jnp.broadcast_shapes(pred_vol.shape[:-1], pred_mean.shape[:-1])
+    h = test_x.shape[-1]
+    z = jax.random.normal(key, (*batch, n_sample, h), model.train_y.dtype)
+    noise = jnp.cumsum(jnp.sqrt(incs)[..., None, :] * z, axis=-1)
+    return pred_mean[..., None, :] + noise
+
+
+def generate_prediction(key, model: VoltState, test_x, pred_vol,
+                        n_sample: int = 1, latent_mean=None, theta: float = 0.5):
+    """One-shot conditional sampling over the whole horizon (reference
+    ``GeneratePrediction``, ``rollout_utils.py:6-53``).
+
+    ``pred_vol``: ``(..., H)`` vol paths.  Returns ``(..., n_sample, H)``
+    log-price samples (time-changed Brownian increments around the Markov
+    conditional mean — identical in distribution to the reference's dense
+    conditional, computed in O(H) per path).
+    """
+    use_theta = latent_mean is not None
+    lm = jnp.asarray(latent_mean) if use_theta else jnp.float32(0)
+    return _generate_prediction(key, model, jnp.asarray(test_x),
+                                jnp.asarray(pred_vol), int(n_sample), lm,
+                                use_theta, jnp.float32(theta))
+
+
+def sample_prediction(key, model: VoltState, test_x, n_sample: int = 1,
+                      return_vol: bool = False):
+    """Draw one vol path, then ``n_sample`` price paths (reference
+    ``VoltronGP.SamplePrediction``, ``VoltronGP.py:97-106``)."""
+    k1, k2 = jax.random.split(key)
+    pred_vol = jnp.exp(model.vol_state.sample(k1, test_x))
+    pred = generate_prediction(k2, model, test_x, pred_vol, n_sample)
+    return (pred, pred_vol) if return_vol else pred
+
+
+def mean_prediction(key, model: VoltState, test_x, n_sample: int = 1,
+                    return_vol: bool = False):
+    """Like :func:`sample_prediction` but with the posterior-mean vol path
+    (reference ``VoltronGP.MeanPrediction``, ``VoltronGP.py:108-114``)."""
+    mean, _ = model.vol_state.posterior(test_x)
+    pred_vol = jnp.exp(mean)
+    pred = generate_prediction(key, model, test_x, pred_vol, n_sample)
+    return (pred, pred_vol) if return_vol else pred
+
+
+# ---------------------------------------------------------------------------
+# Dense reference-parity paths (used by tests; O(n^3) like the reference)
+# ---------------------------------------------------------------------------
+
+
+def generate_prediction_dense(key, model: VoltState, test_x, pred_vol,
+                              n_sample: int = 1, latent_mean=None,
+                              theta: float = 0.5):
+    """Literal dense restatement of ``rollout_utils.GeneratePrediction``:
+    joint covariance build, slice, psd-safe Cholesky (jitter 1e-4),
+    conditional mean/cov, Cholesky sampling."""
+    kernel = VolatilityKernel()
+    mean_mod = model.module.mean
+    mean_params = model.params["mean"]
+    test_x = jnp.asarray(test_x)
+    pred_vol = jnp.asarray(pred_vol)
+
+    full_x = jnp.concatenate(
+        [jnp.broadcast_to(model.train_x, model.train_x.shape), test_x], -1
+    )
+    vol = jnp.exp(model.log_vol_path)
+    batch = pred_vol.shape[:-1]
+    vol_b = jnp.broadcast_to(vol, (*batch, vol.shape[-1]))
+    full_vol = jnp.concatenate([vol_b, pred_vol], -1)
+
+    n = model.train_x.shape[-1]
+    cov = kernel({}, full_x, full_vol)
+    k_tr = cov[..., :n, :n]
+    k_tr_te = cov[..., :n, n:]
+    k_te = cov[..., n:, n:]
+
+    if mean_mod.is_history_dependent:
+        if test_x.shape[-1] != 1:
+            raise ValueError("dense path supports Magpie means only for "
+                             "single-point queries (as in Rollouts)")
+        train_mean = mean_mod.train_values(mean_params, model.train_y)
+        m_test = mean_mod.last_value(mean_params, model.train_y)[..., None]
+    else:
+        train_mean = mean_mod(mean_params, model.train_x)
+        m_test = mean_mod(mean_params, test_x)
+
+    resid = jnp.broadcast_to(
+        model.train_y - train_mean, (*batch, n)
+    )
+    cond_mean, cond_cov = conditional(k_tr, k_tr_te, k_te, resid, jitter=1e-4)
+    pred_mean = cond_mean + m_test
+    if latent_mean is not None:
+        pred_mean = pred_mean - theta * (pred_mean - latent_mean)
+    samples = sample_mvn(key, jnp.zeros_like(pred_mean), cond_cov,
+                         (n_sample,), jitter=1e-4)
+    samples = jnp.moveaxis(samples, 0, -2)  # (..., n_sample, H)
+    return samples + pred_mean[..., None, :]
+
+
+def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
+                   nsample: int = 50, theta=None):
+    """Literal dense restatement of the reference's autoregressive loop
+    (python loop; test oracle only)."""
+    kernel = VolatilityKernel()
+    mean_mod = model.module.mean
+    mean_params = model.params["mean"]
+    use_theta = theta is not None
+    latent = jnp.mean(jnp.log(jnp.asarray(train_y))) if use_theta else None
+    # The meanrevert module's internal latent mean is frozen at the
+    # construction-time series mean (reference EWMA.py:124), even as the
+    # module's series is mutated during the rollout loop.
+    mr_latent = (
+        jnp.mean(model.train_y, axis=-1, keepdims=True)
+        if isinstance(model.module.mean, MeanRevertingEMAMean)
+        else None
+    )
+
+    test_x = jnp.asarray(test_x)
+    h = test_x.shape[-1]
+    k_vol, key = jax.random.split(key)
+    pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample)
+
+    xs = model.train_x
+    ys = jnp.broadcast_to(model.train_y, (nsample, model.train_y.shape[-1]))
+    vols = jnp.broadcast_to(
+        jnp.exp(model.log_vol_path), (nsample, model.log_vol_path.shape[-1])
+    )
+    out = []
+    for t in range(h):
+        n = xs.shape[-1]
+        full_x = jnp.concatenate([xs, test_x[t][None]], -1)
+        full_vol = jnp.concatenate([vols, pred_vol[:, t][:, None]], -1)
+        cov = kernel({}, full_x, full_vol)
+        k_tr = cov[..., :n, :n]
+        k_tr_te = cov[..., :n, n:]
+        k_te = cov[..., n:, n:]
+        if mean_mod.is_history_dependent:
+            if mr_latent is not None:
+                train_mean = mean_mod.train_values(mean_params, ys, mr_latent)
+                m_test = mean_mod.last_value(mean_params, ys, mr_latent)[..., None]
+            else:
+                train_mean = mean_mod.train_values(mean_params, ys)
+                m_test = mean_mod.last_value(mean_params, ys)[..., None]
+        else:
+            train_mean = mean_mod(mean_params, xs)
+            m_test = mean_mod(mean_params, test_x[t][None])
+        resid = ys - train_mean
+        cond_mean, cond_cov = conditional(k_tr, k_tr_te, k_te, resid,
+                                          jitter=1e-4)
+        pred_mean = cond_mean + m_test
+        if use_theta:
+            pred_mean = pred_mean - theta * (pred_mean - latent)
+        key, k_s = jax.random.split(key)
+        y_t = sample_mvn(k_s, pred_mean, cond_cov, jitter=1e-4)[..., 0]
+        out.append(y_t)
+        xs = full_x
+        ys = jnp.concatenate([ys, y_t[:, None]], -1)
+        vols = full_vol
+    return jnp.stack(out, axis=-1)

@@ -1,0 +1,275 @@
+"""Training entry points — the five pipelines of ``train_utils.py``.
+
+Every fit is an ``optax.adam`` loop rolled into a single jitted
+``lax.scan`` (one XLA program per fit, zero host round-trips); hyper-
+parameters (learning rates, iteration counts, noise inits, which parameters
+train) follow the reference exactly:
+
+* ``learn_gpcv``       — Adam(0.01) on the 75-node GH variational ELBO
+                         (reference ``train_utils.py:15-67``)
+* ``train_vol_model``  — Adam(0.01) on the exact MLL of the BM vol GP
+                         (``train_utils.py:69-95``)
+* ``train_data_model`` — Adam(0.1) on the Volt exact MLL, log-linear mean
+                         (``train_utils.py:98-144``)
+* ``train_volt_magpie``— Adam(0.1), mean selected by name
+                         (``train_utils.py:192-257``)
+* ``train_basic_model``— Adam(0.1), Matérn / spectral-mixture baselines
+                         (``train_utils.py:146-189``)
+
+The reference freezes parameters positionally (``grad_flags``,
+``train_utils.py:111-114`` — a documented fragility).  Here freezing is
+structural: each loss simply closes over the frozen state (the vol path and
+vol-GP parameters are data to the price-model loss), so there is nothing to
+mask.
+
+TPU fast path: the Volt data-model covariance is constant during its fit
+(only mean/noise train), so it is eigendecomposed once and each of the
+``train_iters`` MLL+grad steps costs O(n^2) instead of O(n^3); for
+EWMA-family means the whole mean vector is also hoisted out of the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from .gp.exact import exact_mll_fixed_cov
+from .kernels import SpectralMixtureKernel
+from .models.basic import BasicGP, MaternGP, SMGP, BasicGPState
+from .models.bmgp import BMGP, BMGPState
+from .models.gpcv import GPCVModel, GPCVState
+from .models.volt import VoltGP, VoltState, make_mean
+from .means import LogLinearMean
+
+__all__ = [
+    "learn_gpcv",
+    "train_vol_model",
+    "train_data_model",
+    "train_volt_magpie",
+    "train_basic_model",
+    "scaled_returns",
+    # reference-style aliases
+    "LearnGPCV",
+    "TrainVolModel",
+    "TrainDataModel",
+    "TrainVoltMagpieModel",
+    "TrainBasicModel",
+]
+
+
+def scaled_returns(train_x, train_y):
+    """``(y[t+1] - y[t]) / y[t] / sqrt(dt)`` (reference ``train_utils.py:16-17``).
+
+    ``train_y`` holds prices on a grid one point longer than ``train_x``.
+    """
+    train_x = jnp.asarray(train_x)
+    train_y = jnp.asarray(train_y)
+    if train_y.shape[-1] != train_x.shape[-1] + 1:
+        raise ValueError(
+            f"expected len(train_y) == len(train_x) + 1 (prices vs. return "
+            f"grid), got {train_y.shape[-1]} vs {train_x.shape[-1]}"
+        )
+    dt = train_x[..., 1] - train_x[..., 0]
+    diffs = train_y[..., 1:] - train_y[..., :-1]
+    return diffs / train_y[..., :-1] / jnp.sqrt(dt)[..., None]
+
+
+def _adam_scan(loss_fn, params, train_iters: int, lr: float):
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        p, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state), loss
+
+    (params, _), losses = lax.scan(
+        step, (params, opt.init(params)), None, length=train_iters
+    )
+    return params, losses
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: GPCV
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
+def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
+    return _adam_scan(
+        lambda p: -module.elbo(p, train_x, yy), params, train_iters, lr
+    )
+
+
+def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False,
+               kernel: str = "bm", lr: float = 0.01, return_model: bool = False,
+               key=None, mc_scale_samples=None):
+    """Infer the volatility path from prices.  Returns ``pred_scale``
+    (and the fitted :class:`GPCVState` when ``return_model=True`` — the
+    reference's ``return_model`` call site was broken; fixed by design,
+    SURVEY.md preamble)."""
+    train_x = jnp.asarray(train_x)
+    yy = scaled_returns(train_x, train_y)
+    module = GPCVModel(kernel=kernel)
+    params = module.init(train_x, yy, key=key)
+    params, losses = _fit_gpcv(module, params, train_x, yy, train_iters, lr)
+    if printing:
+        for i in range(0, train_iters, 50):
+            print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
+    state = GPCVState(module=module, params=params, train_x=train_x,
+                      targets=yy)
+    pred_scale = state.predicted_scale(mc_samples=mc_scale_samples, key=key)
+    if return_model:
+        return pred_scale, state
+    return pred_scale
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: vol GP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
+def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr):
+    return _adam_scan(
+        lambda p: -module.mll(p, train_x, log_vol), params, train_iters, lr
+    )
+
+
+def train_vol_model(train_x, vol_path, train_iters: int = 1000,
+                    printing: bool = False, kernel: str = "bm",
+                    lr: float = 0.01) -> BMGPState:
+    """Fit the exact BM GP to ``log(vol_path)``."""
+    train_x = jnp.asarray(train_x)
+    log_vol = jnp.log(jnp.asarray(vol_path))
+    module = BMGP(kernel=kernel)
+    params = module.init()
+    params, losses = _fit_bmgp(module, params, train_x, log_vol, train_iters,
+                               lr)
+    if printing:
+        for i in range(0, train_iters, 50):
+            print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
+    return module.fit_state(params, train_x, log_vol)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: Volt data model
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
+def _fit_volt(module: VoltGP, params, train_x, log_y, vol_path, train_iters,
+              lr):
+    cache = module.make_cov_cache(train_x, vol_path)
+    if module.mean.is_history_dependent:
+        # mean vector is independent of trainable params: hoist it.
+        mean_vec = module.train_mean(params, train_x, log_y)
+
+        def loss(p):
+            noise = module.likelihood.noise(p["likelihood"])
+            return -exact_mll_fixed_cov(log_y, mean_vec, cache, noise)
+
+    else:
+        def loss(p):
+            return -module.mll_fixed_cov(p, cache, train_x, log_y)
+
+    return _adam_scan(loss, params, train_iters, lr)
+
+
+def _fit_volt_state(module, train_x, train_y_log, vol_path, vol_state,
+                    train_iters, lr, printing, init_mean_from_data=False,
+                    key=None):
+    params = module.init(key=key)
+    if init_mean_from_data and isinstance(module.mean, LogLinearMean):
+        params["mean"] = module.mean.initialize_from_data(
+            params["mean"], train_x, train_y_log
+        )
+    params, losses = _fit_volt(module, params, train_x, train_y_log, vol_path,
+                               train_iters, lr)
+    if printing:
+        for i in range(0, train_iters, 50):
+            print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
+    return module.fit_state(params, train_x, train_y_log, vol_path, vol_state)
+
+
+def train_data_model(train_x, train_y, vol_state: BMGPState, vol_path,
+                     train_iters: int = 1000, printing: bool = False,
+                     lr: float = 0.1, key=None) -> VoltState:
+    """Volt with a log-linear mean initialized from the data
+    (reference ``train_utils.py:98-144``; ``train_y`` holds prices)."""
+    train_x = jnp.asarray(train_x)
+    log_y = jnp.log(jnp.asarray(train_y))
+    module = VoltGP(mean=LogLinearMean(1))
+    return _fit_volt_state(module, train_x, log_y, jnp.asarray(vol_path),
+                           vol_state, train_iters, lr, printing,
+                           init_mean_from_data=True, key=key)
+
+
+def train_volt_magpie(train_x, train_y, vol_state: BMGPState, vol_path,
+                      train_iters: int = 1000, printing: bool = False,
+                      k: int = 25, theta: float = 0.5,
+                      mean_func: str = "ewma", lr: float = 0.1,
+                      key=None) -> VoltState:
+    """Volt with a mean selected by name (reference
+    ``train_utils.py:192-257``; ``train_y`` holds prices, already sliced to
+    the return grid by the caller as in the reference call sites)."""
+    train_x = jnp.asarray(train_x)
+    log_y = jnp.log(jnp.asarray(train_y))
+    module = VoltGP(mean=make_mean(mean_func, k=k, theta=theta))
+    return _fit_volt_state(module, train_x, log_y, jnp.asarray(vol_path),
+                           vol_state, train_iters, lr, printing,
+                           init_mean_from_data=(mean_func == "loglinear"),
+                           key=key)
+
+
+# ---------------------------------------------------------------------------
+# Baselines
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
+def _fit_basic(module: BasicGP, params, train_x, log_y, train_iters, lr):
+    return _adam_scan(
+        lambda p: -module.mll(p, train_x, log_y), params, train_iters, lr
+    )
+
+
+def train_basic_model(train_x, train_y, train_iters: int = 1000,
+                      printing: bool = False, model_type: str = "matern",
+                      num_mixtures: int = 10, mean_func: str = "loglinear",
+                      lr: float = 0.1, key=None) -> BasicGPState:
+    """Matérn / spectral-mixture baselines on log prices."""
+    train_x = jnp.asarray(train_x)
+    log_y = jnp.log(jnp.asarray(train_y))
+    mean = LogLinearMean(1) if mean_func == "loglinear" else None
+    module = MaternGP(mean) if model_type == "matern" else SMGP(num_mixtures,
+                                                               mean)
+    params = module.init(key=key)
+    if isinstance(module.kernel, SpectralMixtureKernel):
+        params["kernel"] = module.kernel.initialize_from_data(
+            params["kernel"], train_x, log_y, key=key
+        )
+    if mean_func == "loglinear":
+        params["mean"] = module.mean.initialize_from_data(
+            params["mean"], train_x, log_y
+        )
+    params["likelihood"] = module.likelihood.init(raw_noise_init=1e-5)
+    params, losses = _fit_basic(module, params, train_x, log_y, train_iters,
+                                lr)
+    if printing:
+        for i in range(0, train_iters, 50):
+            print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
+    return module.fit_state(params, train_x, log_y)
+
+
+# Reference-style aliases
+LearnGPCV = learn_gpcv
+TrainVolModel = train_vol_model
+TrainDataModel = train_data_model
+TrainVoltMagpieModel = train_volt_magpie
+TrainBasicModel = train_basic_model
