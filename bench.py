@@ -1,0 +1,73 @@
+"""Benchmark: fit + 1000-path rollout throughput, assets/sec on one chip.
+
+Workload per asset (the reference stock backtest shape,
+``ForecastGenerator.py:53-101`` / BASELINE.md): ntrain=400 prices (399-point
+return grid), 300 GPCV ELBO iters, 300 vol-GP MLL iters, 300 Volt MLL
+iters, then a 1000-path x 100-step autoregressive Monte-Carlo rollout with
+an EWMA mean.
+
+North star (BASELINE.json): fit + 1000-path rollout for 500 tickers in
+<60 s on a v5p-8 => 500/60/8 ~= 1.042 assets/sec/chip.  ``vs_baseline`` is
+measured assets/sec/chip divided by that rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from volt_tpu.data import sabr_paths
+    from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
+
+    n_assets = int(os.environ.get("BENCH_ASSETS", "16"))
+    ntrain = 400
+    horizon = 100
+    cfg = PipelineConfig(
+        gpcv_iters=300, vol_iters=300, data_iters=300,
+        mean_func="ewma", k=100, nsample=1000,
+    )
+
+    dt = 1.0 / 252
+    n = ntrain - 1
+    f, _ = sabr_paths(steps=ntrain, seed=0, n_paths=n_assets)
+    train_x = jnp.arange(n, dtype=jnp.float32) * dt
+    test_x = jnp.arange(horizon, dtype=jnp.float32) * dt + train_x[-1] + dt
+    train_ys = jnp.asarray(f)
+
+    def run(key):
+        samples, aux = fit_forecast_batch(key, train_x, train_ys, test_x, cfg)
+        # On this image's TPU tunnel, block_until_ready does not actually
+        # synchronize; a host fetch is the only reliable barrier, and its
+        # transfer cost (nsample x horizon floats) is part of delivering
+        # the forecast anyway.
+        return jax.device_get(samples)
+
+    # warmup / compile (fetch forces completion)
+    run(jax.random.key(0))
+
+    t0 = time.perf_counter()
+    out = run(jax.random.key(1))
+    elapsed = time.perf_counter() - t0
+
+    import numpy as np
+
+    assert np.isfinite(out).all(), "non-finite forecasts"
+    assets_per_sec = n_assets / elapsed
+    north_star = 500.0 / 60.0 / 8.0  # assets/sec/chip
+    print(json.dumps({
+        "metric": "volt_fit_plus_1000path_rollout_throughput",
+        "value": round(assets_per_sec, 4),
+        "unit": "assets/sec/chip (ntrain=400, 3x300 iters, 1000x100 MC)",
+        "vs_baseline": round(assets_per_sec / north_star, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""The whole Volt pipeline as one compiled program, batched over assets.
+
+``fit_forecast`` runs GPCV -> vol GP -> Volt fit -> MC rollout for a single
+asset entirely inside ``jit`` (three fused optax/lax.scan loops + the Markov
+rollout scan — zero host round-trips per asset).  ``fit_forecast_batch``
+``vmap``s it over an asset axis and shards that axis (and the Monte-Carlo
+path axis) over a device mesh with ``NamedSharding`` — the TPU-native
+replacement for the reference's sequential per-ticker loop
+(``experiments/stocks/ForecastGenerator.py:27-41``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.gpcv import GPCVModel
+from ..models.bmgp import BMGP
+from ..models.volt import VoltGP, make_mean
+from ..rollouts import _rollout_volt_scan, sample_vol_paths
+from ..train import _adam_scan, scaled_returns
+from ..gp.exact import exact_mll_fixed_cov
+
+__all__ = ["PipelineConfig", "fit_forecast", "fit_forecast_batch",
+           "shard_batch"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration for the full two-stage pipeline.
+
+    Defaults follow the reference stock backtest (``ForecastGenerator.py``
+    flags: train_iters=300, k/mean per flag; Adam lr split 0.01/0.01/0.1,
+    ``train_utils.py:40,77,124,237``).
+    """
+
+    gpcv_iters: int = 300
+    vol_iters: int = 300
+    data_iters: int = 300
+    kernel: str = "bm"
+    mean_func: str = "ewma"
+    k: int = 300
+    theta: Optional[float] = None
+    nsample: int = 1000
+    gpcv_lr: float = 0.01
+    vol_lr: float = 0.01
+    data_lr: float = 0.1
+    num_locs: int = 75
+
+
+@partial(jax.jit, static_argnames=("config",))
+def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
+    """Fit + forecast one asset.
+
+    ``train_y``: prices, one longer than ``train_x`` (the return grid).
+    Returns ``(samples (nsample, H), aux)`` where ``aux`` carries the
+    inferred vol path and fitted parameters.
+    """
+    k_lik, k_roll = jax.random.split(key)
+
+    # ---- stage 1: GPCV ----------------------------------------------------
+    yy = scaled_returns(train_x, train_y)
+    gpcv = GPCVModel(kernel=config.kernel, num_locs=config.num_locs)
+    gpcv_params = gpcv.init(train_x, yy, key=k_lik)
+    gpcv_params, gpcv_losses = _adam_scan(
+        lambda p: -gpcv.elbo(p, train_x, yy),
+        gpcv_params, config.gpcv_iters, config.gpcv_lr,
+    )
+    vol = gpcv.predicted_scale(gpcv_params, train_x)
+
+    # ---- stage 2: vol GP --------------------------------------------------
+    log_vol = jnp.log(vol)
+    bm = BMGP(kernel=config.kernel)
+    vol_params, vol_losses = _adam_scan(
+        lambda p: -bm.mll(p, train_x, log_vol),
+        bm.init(), config.vol_iters, config.vol_lr,
+    )
+    vol_state = bm.fit_state(vol_params, train_x, log_vol)
+
+    # ---- stage 3: Volt data model (fixed covariance -> eig fast path) ----
+    log_y = jnp.log(train_y[..., 1:])
+    volt = VoltGP(mean=make_mean(config.mean_func, k=config.k))
+    volt_params = volt.init()
+    cache = volt.make_cov_cache(train_x, vol)
+    if volt.mean.is_history_dependent:
+        mean_vec = volt.train_mean(volt_params, train_x, log_y)
+
+        def data_loss(p):
+            noise = volt.likelihood.noise(p["likelihood"])
+            return -exact_mll_fixed_cov(log_y, mean_vec, cache, noise)
+    else:
+        def data_loss(p):
+            return -volt.mll_fixed_cov(p, cache, train_x, log_y)
+
+    volt_params, data_losses = _adam_scan(
+        data_loss, volt_params, config.data_iters, config.data_lr
+    )
+    model = volt.fit_state(volt_params, train_x, log_y, vol, vol_state)
+
+    # ---- stage 4: Monte-Carlo rollout ------------------------------------
+    use_theta = config.theta is not None
+    latent_mean = jnp.mean(jnp.log(train_y)) if use_theta else jnp.float32(0)
+    k_vol, k_z = jax.random.split(k_roll)
+    pred_vol = sample_vol_paths(k_vol, vol_state, test_x, config.nsample)
+    zs = jax.random.normal(k_z, (config.nsample, test_x.shape[-1]),
+                           log_y.dtype)
+    samples = _rollout_volt_scan(
+        model, latent_mean, test_x, pred_vol, zs, use_theta,
+        jnp.float32(config.theta if use_theta else 0.0),
+    )
+
+    aux = {
+        "vol": vol,
+        "gpcv_loss": gpcv_losses[-1],
+        "vol_loss": vol_losses[-1],
+        "data_loss": data_losses[-1],
+        "volt_params": volt_params,
+        "vol_params": vol_params,
+    }
+    return samples, aux
+
+
+def _batched(key, train_x, train_ys, test_x, config: PipelineConfig):
+    keys = jax.random.split(key, train_ys.shape[0])
+    return jax.vmap(
+        lambda k, ty: fit_forecast(k, train_x, ty, test_x, config)
+    )(keys, train_ys)
+
+
+def shard_batch(mesh):
+    """(in, out) shardings for the batched pipeline on an (asset, path) mesh."""
+    asset = NamedSharding(mesh, P("asset"))
+    out_samples = NamedSharding(mesh, P("asset", "path"))
+    return asset, out_samples
+
+
+def fit_forecast_batch(key, train_x, train_ys, test_x,
+                       config: PipelineConfig, mesh=None):
+    """Fit + forecast a batch of assets, sharded over the mesh.
+
+    ``train_ys``: ``(B, n+1)`` prices.  Returns ``(samples (B, S, H), aux)``
+    with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``.
+    """
+    train_ys = jnp.asarray(train_ys)
+    if mesh is None:
+        return jax.jit(_batched, static_argnames=("config",))(
+            key, train_x, train_ys, test_x, config
+        )
+    asset_sh, samples_sh = shard_batch(mesh)
+    train_ys = jax.device_put(train_ys, asset_sh)
+    fn = jax.jit(
+        _batched,
+        static_argnames=("config",),
+        out_shardings=(samples_sh, None),
+    )
+    return fn(key, train_x, train_ys, test_x, config)
