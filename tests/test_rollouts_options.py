@@ -1,0 +1,108 @@
+"""Baseline (non-vol) rollout parity and option-pricing tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu import options
+from volt_tpu.data import sabr_paths
+from volt_tpu.means import EWMAMean, LogLinearMean
+from volt_tpu.rollouts import nonvol_rollouts, nonvol_rollouts_dense
+from volt_tpu.train import train_basic_model
+
+
+N, H = 80, 6
+DT = 1.0 / 252
+
+
+@pytest.fixture(scope="module")
+def basic_model():
+    f, _ = sabr_paths(steps=N + 1, seed=3)
+    train_x = jnp.arange(N, dtype=jnp.float32) * DT
+    train_y = jnp.asarray(f[1:])
+    test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
+    model = train_basic_model(train_x, train_y, train_iters=60,
+                              model_type="matern")
+    return model, test_x
+
+
+class TestNonvolRollouts:
+    def test_shapes_and_finiteness(self, basic_model):
+        model, test_x = basic_model
+        s = nonvol_rollouts(jax.random.key(0), model, None, None, test_x,
+                            nsample=32)
+        assert s.shape == (32, H)
+        assert bool(jnp.all(jnp.isfinite(s)))
+
+    def test_matches_dense_moments(self, basic_model):
+        model, test_x = basic_model
+        nsample = 1200
+        fast = np.asarray(
+            nonvol_rollouts(jax.random.key(1), model, None, None, test_x,
+                            nsample=nsample)
+        )
+        dense = np.asarray(
+            nonvol_rollouts_dense(jax.random.key(2), model, test_x,
+                                  nsample=nsample)
+        )
+        np.testing.assert_allclose(fast.mean(0), dense.mean(0), atol=6e-3)
+        np.testing.assert_allclose(fast.std(0), dense.std(0), rtol=0.15,
+                                   atol=2e-3)
+
+    def test_ewma_mean_variant(self):
+        # BasicWindRollouts pairs baseline kernels with Magpie means.
+        from volt_tpu.models.basic import MaternGP
+
+        f, _ = sabr_paths(steps=N + 1, seed=5)
+        train_x = jnp.arange(N, dtype=jnp.float32) * DT
+        log_y = jnp.log(jnp.asarray(f[1:]))
+        test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
+        module = MaternGP(EWMAMean(20))
+        params = module.init()
+        model = module.fit_state(params, train_x, log_y)
+        s = nonvol_rollouts(jax.random.key(0), model, None, None, test_x,
+                            nsample=16)
+        assert s.shape == (16, H)
+        assert bool(jnp.all(jnp.isfinite(s)))
+
+
+class TestOptions:
+    def test_ecdf(self):
+        pxs = jnp.exp(jnp.asarray(np.linspace(0.0, 1.0, 101)))
+        # 50 of 101 log prices lie below 0.5
+        got = float(options.ecdf(pxs, float(jnp.exp(0.5))))
+        assert got == pytest.approx(50 / 101, abs=1e-6)
+
+    def test_price_call_grid(self, rng):
+        paths = rng.lognormal(0.0, 0.2, (5000, 3)).astype(np.float32)
+        strikes = jnp.asarray([0.8, 1.0, 1.2], jnp.float32)
+        grid = np.asarray(options.price_call_grid(jnp.asarray(paths), strikes))
+        assert grid.shape == (3, 3)
+        for i, k in enumerate([0.8, 1.0, 1.2]):
+            expected = np.maximum(paths - k, 0).mean(0)
+            np.testing.assert_allclose(grid[i], expected, rtol=1e-4)
+        # monotone in strike
+        assert (np.diff(grid, axis=0) <= 1e-6).all()
+
+    def test_pricer_dataframe(self, rng):
+        import pandas as pd
+
+        paths = rng.lognormal(4.6, 0.1, (2000, 2)).astype(np.float32)
+        edays = [pd.Timestamp("2022-01-21"), pd.Timestamp("2022-02-18")]
+        opts = pd.DataFrame({
+            "expiration": [edays[0], edays[0], edays[1]],
+            "strike": [95.0, 105.0, 100.0],
+            "bid": [6.0, 1.5, 4.0],
+            "ask": [6.5, 1.8, 4.5],
+        })
+        df = options.pricer(paths, opts, edays, np.array([101.0, 99.0]),
+                            100.0)
+        assert list(df.columns) == [
+            "Expiry", "Strike", "Bid", "Ask", "Voltron", "Return",
+            "ExpClose", "QuoteClose", "Year", "Sample_Percentile",
+        ]
+        assert len(df) == 3
+        # call value decreases with strike within the same expiry
+        assert df.iloc[0].Voltron > df.iloc[1].Voltron
+        assert 0.0 <= df.iloc[0].Sample_Percentile <= 1.0

@@ -122,15 +122,25 @@ def psd_safe_cholesky(a, jitter: float | None = None, max_tries: int = 3):
     return _psd_safe_cholesky(a, base_jitter, int(max_tries))
 
 
+def _broadcast_batch(chol, b):
+    """Broadcast leading batch dims of a factor and right-hand side."""
+    batch = jnp.broadcast_shapes(chol.shape[:-2], b.shape[:-2])
+    chol = jnp.broadcast_to(chol, (*batch, *chol.shape[-2:]))
+    b = jnp.broadcast_to(b, (*batch, *b.shape[-2:]))
+    return chol, b
+
+
 def solve_lower_triangular(chol, b):
-    """Solve ``L x = b`` with ``L`` lower triangular (batched)."""
+    """Solve ``L x = b`` with ``L`` lower triangular (batch-broadcasting)."""
+    chol, b = _broadcast_batch(chol, b)
     return lax.linalg.triangular_solve(
         chol, b, left_side=True, lower=True, transpose_a=False
     )
 
 
 def solve_upper_triangular(chol, b):
-    """Solve ``L^T x = b`` with ``L`` lower triangular (batched)."""
+    """Solve ``L^T x = b`` with ``L`` lower triangular (batch-broadcasting)."""
+    chol, b = _broadcast_batch(chol, b)
     return lax.linalg.triangular_solve(
         chol, b, left_side=True, lower=True, transpose_a=True
     )

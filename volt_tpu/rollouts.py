@@ -34,6 +34,7 @@ from jax import lax
 from .kernels import VolatilityKernel
 from .means import MeanRevertingEMAMean
 from .models.volt import VoltState
+from .ops.chol import psd_safe_cholesky, solve_lower_triangular
 from .ops.mvn import conditional, sample_mvn
 
 __all__ = [
@@ -42,8 +43,10 @@ __all__ = [
     "generate_prediction",
     "sample_prediction",
     "mean_prediction",
+    "nonvol_rollouts",
     "generate_prediction_dense",
     "rollouts_dense",
+    "nonvol_rollouts_dense",
 ]
 
 
@@ -342,4 +345,146 @@ def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
         xs = full_x
         ys = jnp.concatenate([ys, y_t[:, None]], -1)
         vols = full_vol
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Non-volatility autoregressive rollouts (baseline exact GPs)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nsample",))
+def _nonvol_scan(key, model, test_x, nsample):
+    """Autoregressive sampling for arbitrary stationary kernels.
+
+    The reference re-fits the conditioning cache from scratch each step
+    (``rollout_utils.py:95-115``, O((n+t)^3) per step).  Here the kernel
+    matrix over the *joint* grid is built once (hyperparameters are fixed
+    during forecasting), and the growing Cholesky factor of
+    ``K + sigma^2 I`` is extended by one row per step — a single shared
+    O(M^2) triangular solve per step plus O(S M) per-path work, all inside
+    one ``lax.scan`` over fixed-size padded buffers.
+    """
+    mean_mod = model.module.mean
+    mean_params = model.params["mean"]
+    kern = model.module.kernel
+    kern_params = model.params["kernel"]
+    noise = model.module.likelihood.noise(model.params["likelihood"])[..., 0]
+
+    train_x, train_y = model.train_x, model.train_y
+    l = train_x.shape[-1]
+    h = test_x.shape[-1]
+    m = l + h
+    dtype = train_y.dtype
+
+    joint_x = jnp.concatenate([train_x, test_x], -1)
+    k_joint = kern(kern_params, joint_x)  # (M, M), shared across paths
+    a_diag = jnp.diagonal(k_joint) + noise
+
+    # mean setup
+    hist = mean_mod.is_history_dependent
+    if hist:
+        mstate0 = mean_mod.scan_init(mean_params, train_y)
+        mstate0 = jax.tree.map(
+            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), mstate0
+        )
+        m_train = mean_mod.train_values(mean_params, train_y)
+        m_det = jnp.zeros((h,), dtype)
+    else:
+        mstate0 = {}
+        m_train = mean_mod(mean_params, train_x)
+        m_det = mean_mod(mean_params, test_x)
+
+    # Cholesky of the train block, embedded in an identity-padded buffer.
+    a_tr = k_joint[:l, :l] + noise * jnp.eye(l, dtype=dtype)
+    chol_tr = psd_safe_cholesky(a_tr)
+    l_buf = jnp.eye(m, dtype=dtype).at[:l, :l].set(chol_tr)
+
+    # u = L^{-1} r, maintained incrementally per path.
+    r_train = jnp.broadcast_to(train_y - m_train, (nsample, l))
+    u0 = solve_lower_triangular(chol_tr, r_train.T).T  # (S, L)
+    u_buf = jnp.zeros((nsample, m), dtype).at[:, :l].set(u0)
+
+    zs = jax.random.normal(key, (h, nsample), dtype)
+    idx_grid = jnp.arange(m)
+
+    def body(carry, inp):
+        l_buf, u_buf, mstate, t = carry
+        k_col, z_t, m_det_t = inp  # k_col: (M,) column of the joint kernel
+        n_t = l + t
+        mask = idx_grid < n_t
+        k_masked = jnp.where(mask, k_col, 0.0)
+        w = solve_lower_triangular(l_buf, k_masked[:, None])[:, 0]
+        w = jnp.where(mask, w, 0.0)
+
+        latent_var = jnp.maximum(k_col[n_t] - jnp.dot(w, w), 1e-12)
+        cond_mean_resid = u_buf @ w  # (S,)
+        if hist:
+            m_t = mean_mod.scan_value(mean_params, mstate)
+        else:
+            m_t = m_det_t
+        y_t = m_t + cond_mean_resid + jnp.sqrt(latent_var) * z_t
+
+        # extend the Cholesky: new row = [w, sqrt(A_tt - w.w)]
+        diag_new = jnp.sqrt(jnp.maximum(a_diag[n_t] - jnp.dot(w, w), 1e-12))
+        new_row = w.at[n_t].set(diag_new)
+        l_buf = l_buf.at[n_t, :].set(new_row)
+        # extend u per path: u_new = (r_new - row . u) / diag
+        r_new = y_t - m_t
+        u_new = (r_new - u_buf @ w) / diag_new
+        u_buf = u_buf.at[:, n_t].set(u_new)
+
+        if hist:
+            mstate = mean_mod.scan_append(mean_params, mstate, y_t)
+        return (l_buf, u_buf, mstate, t + 1), y_t
+
+    cols = k_joint[:, l:].T  # (H, M)
+    carry0 = (l_buf, u_buf, mstate0, jnp.int32(0))
+    _, samples = lax.scan(body, carry0, (cols, zs, m_det))
+    return samples.T  # (S, H)
+
+
+def nonvol_rollouts(key, model, train_x, train_y, test_x, nsample: int = 50):
+    """Autoregressive MC forecast for baseline GPs (reference
+    ``nonvol_rollouts``, ``rollout_utils.py:95-115``).
+
+    ``model`` is a fitted :class:`volt_tpu.models.basic.BasicGPState` whose
+    ``train_y`` holds *log* prices; ``train_y`` here is the raw price series
+    (kept for reference API parity, unused beyond validation).  Returns log
+    samples ``(nsample, H)``.
+    """
+    del train_x, train_y
+    return _nonvol_scan(key, model, jnp.asarray(test_x), int(nsample))
+
+
+def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50):
+    """Dense per-step restatement of the reference loop (test oracle)."""
+    mean_mod = model.module.mean
+    mean_params = model.params["mean"]
+    kern = model.module.kernel
+    kern_params = model.params["kernel"]
+    noise = model.module.likelihood.noise(model.params["likelihood"])[..., 0]
+
+    xs = model.train_x
+    ys = jnp.broadcast_to(model.train_y, (nsample, model.train_y.shape[-1]))
+    test_x = jnp.asarray(test_x)
+    out = []
+    for t in range(test_x.shape[-1]):
+        n = xs.shape[-1]
+        k_tr = kern(kern_params, xs) + noise * jnp.eye(n)
+        k_tr_te = kern(kern_params, xs, test_x[t][None])
+        k_te = kern(kern_params, test_x[t][None])
+        if mean_mod.is_history_dependent:
+            train_mean = mean_mod.train_values(mean_params, ys)
+            m_test = mean_mod.last_value(mean_params, ys)[..., None]
+        else:
+            train_mean = mean_mod(mean_params, xs)
+            m_test = mean_mod(mean_params, test_x[t][None])
+        resid = ys - train_mean
+        cond_mean, cond_cov = conditional(k_tr, k_tr_te, k_te, resid)
+        key, k_s = jax.random.split(key)
+        y_t = sample_mvn(k_s, cond_mean + m_test, cond_cov)[..., 0]
+        out.append(y_t)
+        xs = jnp.concatenate([xs, test_x[t][None]], -1)
+        ys = jnp.concatenate([ys, y_t[:, None]], -1)
     return jnp.stack(out, axis=-1)
