@@ -1,0 +1,159 @@
+"""Kronecker multitask algebra + model tests against dense float64 oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats
+
+from volt_tpu.gp.kronecker import kron_kl, kron_mvn_log_prob, kron_posterior
+from volt_tpu.likelihoods import VolatilityGaussianLikelihood
+from volt_tpu.models.multitask import MultitaskBMGP, MultitaskVariationalGP
+
+
+def _psd(rng, n, scale=1.0):
+    a = rng.standard_normal((n, n))
+    return (a @ a.T / n + scale * np.eye(n)).astype(np.float64)
+
+
+class TestKroneckerAlgebra:
+    def test_log_prob_matches_dense(self, rng):
+        n, t = 12, 3
+        kd = _psd(rng, n)
+        kt = _psd(rng, t)
+        noise = 0.3
+        y = rng.standard_normal((n, t))
+        mean = rng.standard_normal((n, t))
+        dense = np.kron(kd, kt) + noise * np.eye(n * t)
+        expected = scipy.stats.multivariate_normal.logpdf(
+            y.reshape(-1), mean.reshape(-1), dense
+        )
+        got = kron_mvn_log_prob(
+            jnp.asarray(y, jnp.float32), jnp.asarray(mean, jnp.float32),
+            jnp.asarray(kd, jnp.float32), jnp.asarray(kt, jnp.float32),
+            noise,
+        )
+        assert float(got) == pytest.approx(expected, rel=1e-4)
+
+    def test_kl_matches_dense(self, rng):
+        n, t = 8, 3
+        kd, kt = _psd(rng, n), _psd(rng, t)
+        rx = np.linalg.cholesky(_psd(rng, n, 0.5))
+        rt = np.linalg.cholesky(_psd(rng, t, 0.5))
+        mq = rng.standard_normal((n, t))
+        mp = rng.standard_normal((n, t))
+
+        sq = np.kron(rx @ rx.T, rt @ rt.T)
+        sp = np.kron(kd, kt)
+        sp_inv = np.linalg.inv(sp)
+        d = (mp - mq).reshape(-1)
+        expected = 0.5 * (
+            np.trace(sp_inv @ sq) + d @ sp_inv @ d - n * t
+            + np.linalg.slogdet(sp)[1] - np.linalg.slogdet(sq)[1]
+        )
+        got = kron_kl(
+            jnp.asarray(mq, jnp.float32), jnp.asarray(rx, jnp.float32),
+            jnp.asarray(rt, jnp.float32), jnp.asarray(mp, jnp.float32),
+            jnp.asarray(kd, jnp.float32), jnp.asarray(kt, jnp.float32),
+        )
+        assert float(got) == pytest.approx(expected, rel=2e-3)
+
+    def test_posterior_matches_dense(self, rng):
+        n, m, t = 10, 4, 3
+        x = np.sort(rng.random(n + m))
+        kd_full = 0.3 * np.minimum(x[:, None], x[None, :]) + 1e-3 * np.eye(n + m)
+        kd, kcross, kte = kd_full[:n, :n], kd_full[:n, n:], kd_full[n:, n:]
+        kt = _psd(rng, t, 0.3)
+        noise = 0.05
+        resid = rng.standard_normal((n, t))
+
+        a = np.kron(kd, kt) + noise * np.eye(n * t)
+        cross = np.kron(kcross, kt)  # (n*t, m*t)
+        sol = np.linalg.solve(a, resid.reshape(-1))
+        mean_exp = (cross.T @ sol).reshape(m, t)
+        cov_exp = np.kron(kte, kt) - cross.T @ np.linalg.solve(a, cross)
+
+        mean, cov = kron_posterior(
+            jnp.asarray(kd, jnp.float32), jnp.asarray(kcross, jnp.float32),
+            jnp.asarray(kte, jnp.float32), jnp.asarray(kt, jnp.float32),
+            jnp.asarray(resid, jnp.float32), noise,
+        )
+        np.testing.assert_allclose(mean, mean_exp, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(cov, cov_exp, rtol=2e-3, atol=2e-4)
+
+
+class TestMultitaskBMGP:
+    def test_mll_finite_and_improvable(self, rng):
+        n, t = 30, 4
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        y = jnp.asarray(
+            np.log(0.2 + 0.05 * rng.random((n, t))).astype(np.float32)
+        )
+        module = MultitaskBMGP(num_tasks=t)
+        params = module.init()
+        mll = module.mll(params, x, y)
+        assert np.isfinite(float(mll))
+        g = jax.grad(lambda p: -module.mll(p, x, y))(params)
+        assert np.isfinite(float(g["data_kernel"]["raw_vol"][0]))
+
+    def test_posterior_and_sampling(self, rng):
+        n, m, t = 25, 5, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        tx = jnp.asarray((np.arange(n, n + m) + 1.0).astype(np.float32) / 252)
+        y = jnp.asarray(
+            np.log(0.2 + 0.05 * rng.random((n, t))).astype(np.float32)
+        )
+        module = MultitaskBMGP(num_tasks=t)
+        state = module.fit_state(module.init(), x, y)
+        mean, cov = state.posterior(tx)
+        assert mean.shape == (m, t)
+        assert cov.shape == (m * t, m * t)
+        evals = np.linalg.eigvalsh(np.asarray(cov, np.float64))
+        assert evals.min() > -1e-4
+        s = state.sample(jax.random.key(0), tx, (6,))
+        assert s.shape == (6, m, t)
+
+
+class TestMultitaskVariationalGP:
+    def test_elbo_trains(self, rng):
+        import optax
+
+        n, t = 40, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        returns = jnp.asarray(
+            (0.02 * rng.standard_normal((n, t))).astype(np.float32)
+        )
+        lik = VolatilityGaussianLikelihood(param="exp")
+        module = MultitaskVariationalGP(num_tasks=t)
+        params = module.init(x)
+        params = module.initialize_variational_parameters(params, lik, {}, x,
+                                                          returns)
+        loss0 = float(-module.elbo(params, x, returns, lik, {}))
+        assert np.isfinite(loss0)
+
+        opt = optax.adam(0.01)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(
+                lambda q: -module.elbo(q, x, returns, lik, {})
+            )(p)
+            updates, s = opt.update(g, s)
+            return optax.apply_updates(p, updates), s, loss
+
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state)
+        assert float(loss) < loss0
+
+    def test_predict_shapes(self, rng):
+        n, m, t = 20, 4, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        tx = jnp.asarray((np.arange(n, n + m) + 1.0).astype(np.float32) / 252)
+        module = MultitaskVariationalGP(num_tasks=t)
+        params = module.init(x)
+        mean, cov = module.predict(params, x, tx)
+        assert mean.shape == (m, t)
+        assert cov.shape == (m * t, m * t)
+        evals = np.linalg.eigvalsh(np.asarray(cov, np.float64))
+        assert evals.min() > -1e-4

@@ -1,0 +1,255 @@
+"""Kronecker multitask models: correlated assets / stations.
+
+* :class:`MultitaskBMGP` — exact multitask GP over log-vol paths with
+  ``K = BM(x) (x) IndexKernel`` and the per-task Itô drift mean scaled by
+  the task-covariance diagonal (reference ``models/BMGP.py:30-56``).
+* :class:`MultitaskVariationalGP` — the hand-rolled Kronecker variational
+  GP (explicit ``N x N`` data and ``T x T`` task variational roots,
+  reference ``models/multi_task_variational_gp.py``).
+
+Kronecker structure is kept symbolic throughout (``gp/kronecker.py``) —
+the ``NT x NT`` covariance is never materialized for training.
+
+Parity notes: the reference's ``task_covar.var.data /= 10`` mutates a
+*computed* tensor (a silent no-op, like the noise pins documented in
+``likelihoods/``); only the ``covar_factor`` shrink is real, and that is
+what ``init`` replicates.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from ..gp.kronecker import kron_kl, kron_mvn_log_prob, kron_posterior
+from ..kernels import BMKernel, FBMKernel, IndexKernel
+from ..likelihoods import MultitaskGaussianLikelihood
+from ..ops.chol import cholesky_solve, psd_safe_cholesky
+from ..ops.mvn import sample_mvn
+from ..utils.static import ConfigEq
+
+__all__ = ["MultitaskBMGP", "MultitaskBMGPState", "MultitaskVariationalGP"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
+
+@struct.dataclass
+class MultitaskBMGPState:
+    module: "MultitaskBMGP" = struct.field(pytree_node=False)
+    params: dict
+    train_x: jax.Array  # (N,)
+    train_y: jax.Array  # (N, T) log-vol per task
+
+    def posterior(self, test_x):
+        return self.module.posterior(self.params, self.train_x, self.train_y,
+                                     test_x)
+
+    def sample(self, key, test_x, sample_shape=()):
+        mean, cov = self.posterior(test_x)
+        m, t = mean.shape[-2], mean.shape[-1]
+        flat = sample_mvn(key, mean.reshape(*mean.shape[:-2], m * t), cov,
+                          sample_shape)
+        return flat.reshape(*flat.shape[:-1], m, t)
+
+
+class MultitaskBMGP(ConfigEq):
+    """Exact Kronecker multitask GP over log-volatility."""
+
+    def __init__(self, num_tasks: int, kernel: str = "bm", rank: int = 1):
+        self.num_tasks = num_tasks
+        self.data_kernel = BMKernel() if kernel == "bm" else FBMKernel()
+        self.task_kernel = IndexKernel(num_tasks=num_tasks, rank=rank)
+        self.likelihood = MultitaskGaussianLikelihood(num_tasks=num_tasks)
+
+    def init(self, dtype=jnp.float32, key=None, noise: float = 1e-3):
+        if key is None:
+            key = jax.random.key(0)
+        task = self.task_kernel.init(dtype, key=key)
+        # reference shrinks the factor init by 10 (BMGP.py:38-40)
+        task = {**task, "covar_factor": task["covar_factor"] / 10.0}
+        return {
+            "data_kernel": self.data_kernel.init(dtype),
+            "task_kernel": task,
+            # vol_lh.noise = 1e-3 via the *working* setter (VoltronGP.py:48)
+            "likelihood": self.likelihood.init_with_noise(noise, dtype),
+        }
+
+    def task_covar(self, params):
+        return self.task_kernel.covar_matrix(params["task_kernel"])
+
+    def mean(self, params, x):
+        """Per-task drift ``-0.5 vol^2 x * diag(B)`` (BMGP.py:44-51)."""
+        vol = self.data_kernel.vol(params["data_kernel"])
+        base = -0.5 * vol**2.0 * x  # (..., N)
+        diag = jnp.diagonal(self.task_covar(params), axis1=-2, axis2=-1)
+        return base[..., :, None] * diag[..., None, :]
+
+    def mll(self, params, x, y):
+        """Exact multitask MLL / (N*T)."""
+        k_data = self.data_kernel(params["data_kernel"], x)
+        k_task = self.task_covar(params)
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        lp = kron_mvn_log_prob(y, self.mean(params, x), k_data, k_task, noise)
+        return lp / (y.shape[-2] * y.shape[-1])
+
+    def posterior(self, params, train_x, train_y, test_x):
+        k_tr = self.data_kernel(params["data_kernel"], train_x)
+        k_cross = self.data_kernel(params["data_kernel"], train_x, test_x)
+        k_te = self.data_kernel(params["data_kernel"], test_x)
+        k_task = self.task_covar(params)
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        resid = train_y - self.mean(params, train_x)
+        mean, cov = kron_posterior(k_tr, k_cross, k_te, k_task, resid, noise)
+        return mean + self.mean(params, test_x), cov
+
+    def fit_state(self, params, train_x, train_y) -> MultitaskBMGPState:
+        return MultitaskBMGPState(module=self, params=params, train_x=train_x,
+                                  train_y=train_y)
+
+
+class MultitaskVariationalGP(ConfigEq):
+    """Kronecker-structured variational GP (multitask GPCV engine).
+
+    Variational family ``q(vec(U)) = N(vec(M), Sx (x) St)`` with explicit
+    lower-triangular roots; inducing points fixed at the train inputs.
+    """
+
+    def __init__(self, num_tasks: int, rank: int = 1, kernel: str = "bm"):
+        self.num_tasks = num_tasks
+        self.data_kernel = BMKernel() if kernel == "bm" else FBMKernel()
+        self.index_kernel = IndexKernel(num_tasks=num_tasks, rank=rank)
+
+    def init(self, train_x, dtype=jnp.float32, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        k1, k2 = jax.random.split(key)
+        n = train_x.shape[-1]
+        t = self.num_tasks
+        return {
+            "data_kernel": self.data_kernel.init(dtype),
+            "index_kernel": self.index_kernel.init(dtype, key=k1),
+            "mean_constants": jnp.zeros((t,), dtype),
+            "variational_mean": 0.01 * jax.random.normal(k2, (n, t), dtype),
+            "variational_covar_root": jnp.eye(n, dtype=dtype),
+            "variational_task_covar_root": jnp.eye(t, dtype=dtype),
+        }
+
+    def initialize_variational_parameters(self, params, likelihood,
+                                          lik_params, x, y):
+        """Laplace-style init (reference
+        ``multi_task_variational_gp.py:38-91``, exp parameterization):
+        per-task running-std latent, task-averaged inverse Hessian,
+        ``S_root = chol(Kuu) inner^{-1/2} * 10``."""
+        from ..gp.variational import running_std_latent_init
+
+        f, rs = running_std_latent_init(y.T)  # per task: (T, N)
+        f = f.T  # (N, T)
+        inv_hess = jnp.clip(0.5 * (y.T) ** -2.0 * jnp.exp(2.0 * f.T),
+                            min=1e-4, max=1000.0)  # (T, N)
+        mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
+
+        kuu = self.data_kernel(params["data_kernel"], x)
+        chol = psd_safe_cholesky(kuu)
+        inner = _mm(jnp.swapaxes(chol, -1, -2) * mean_inv_hess[None, :], chol)
+        inner = inner + jnp.eye(inner.shape[-1], dtype=inner.dtype)
+        # inner^{-1/2} via its Cholesky: inner = C C^T  =>  root = L C^{-T}
+        c = psd_safe_cholesky(inner)
+        inner_inv_root = jnp.linalg.solve(
+            jnp.swapaxes(c, -1, -2), jnp.eye(c.shape[-1], dtype=c.dtype)
+        )
+        s_root = _mm(chol, inner_inv_root) * 10.0
+
+        log_means = jnp.log(jnp.mean(jnp.clip(rs, min=1e-4), axis=-1))  # (T,)
+        index = {
+            **params["index_kernel"],
+            "covar_factor": params["index_kernel"]["covar_factor"] / 10.0,
+        }
+        return {
+            **params,
+            "index_kernel": index,
+            "mean_constants": params["mean_constants"] + log_means,
+            "variational_mean": f,
+            "variational_covar_root": s_root,
+        }
+
+    def prior_mean(self, params, x):
+        n = x.shape[-1]
+        return jnp.broadcast_to(params["mean_constants"],
+                                (n, self.num_tasks))
+
+    def kl_divergence(self, params, x):
+        """KL(q || p) with both sides Kronecker (reference ``:95-111``)."""
+        kuu = self.data_kernel(params["data_kernel"], x)
+        k_task = self.index_kernel.covar_matrix(params["index_kernel"])
+        return kron_kl(
+            params["variational_mean"],
+            params["variational_covar_root"],
+            params["variational_task_covar_root"],
+            self.prior_mean(params, x),
+            kuu,
+            k_task,
+        )
+
+    def marginal_variances(self, params):
+        """diag(Sx (x) St) at the inducing points: outer(diag Sx, diag St)."""
+        rx = jnp.tril(params["variational_covar_root"])
+        rt = jnp.tril(params["variational_task_covar_root"])
+        dx = jnp.sum(rx * rx, axis=-1)
+        dt = jnp.sum(rt * rt, axis=-1)
+        return dx[..., :, None] * dt[..., None, :]
+
+    def elbo(self, params, x, y, likelihood, lik_params, num_locs: int = 75):
+        """GH-quadrature ELBO at inducing == train (exp/cv likelihood)."""
+        mean = params["variational_mean"]
+        var = self.marginal_variances(params)
+        ell = likelihood.expected_log_prob(lik_params, y, mean, var,
+                                           num_locs=num_locs)
+        n_total = y.shape[-2] * y.shape[-1]
+        return jnp.mean(ell, axis=(-2, -1)) - self.kl_divergence(
+            params, x
+        ) / n_total
+
+    def predict(self, params, train_x, test_x):
+        """Unwhitened Kronecker predictive (reference ``:113-145``).
+
+        Returns ``(mean (M, T), cov (M*T, M*T))`` assembled from the two
+        Kronecker terms ``(Kxx - Q) (x) B + (A S A^T) (x) St``.
+        """
+        kuu = self.data_kernel(params["data_kernel"], train_x)
+        kux = self.data_kernel(params["data_kernel"], train_x, test_x)
+        kxx = self.data_kernel(params["data_kernel"], test_x)
+        b = self.index_kernel.covar_matrix(params["index_kernel"])
+
+        chol = psd_safe_cholesky(kuu)
+        kuu_inv_kux = cholesky_solve(chol, kux)  # (N, M)
+        inner_mean = params["variational_mean"] - self.prior_mean(
+            params, train_x
+        )
+        mean = _mm(jnp.swapaxes(kuu_inv_kux, -1, -2), inner_mean)
+        mean = mean + jnp.broadcast_to(
+            params["mean_constants"], mean.shape
+        )
+
+        data_onto = _mm(jnp.swapaxes(kux, -1, -2), kuu_inv_kux)
+        first = kxx - data_onto  # (M, M)
+
+        rx = jnp.tril(params["variational_covar_root"])
+        rt = jnp.tril(params["variational_task_covar_root"])
+        half = _mm(jnp.swapaxes(kuu_inv_kux, -1, -2), rx)  # (M, N)
+        third = _mm(half, jnp.swapaxes(half, -1, -2))  # A Sx A^T
+        st = _mm(rt, jnp.swapaxes(rt, -1, -2))
+
+        m = test_x.shape[-1]
+        t = self.num_tasks
+        cov = (
+            jnp.einsum("...ij,...ab->...iajb", first, b,
+                       precision=_HIGHEST)
+            + jnp.einsum("...ij,...ab->...iajb", third, st,
+                         precision=_HIGHEST)
+        ).reshape(*first.shape[:-2], m * t, m * t)
+        return mean, cov
