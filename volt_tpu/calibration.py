@@ -1,0 +1,67 @@
+"""Forecast-calibration metrics.
+
+The reference evaluates forecasts offline with empirical-CDF percentiles
+and fraction-within-centered-band calibration curves
+(``experiments/weather/.ipynb_checkpoints/calib_plotter-checkpoint.ipynb``
+cells 2-9; ``option_utils.py:48-51``).  These are the library versions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["sample_percentiles", "calibration", "calibration_curve", "crps"]
+
+
+def sample_percentiles(samples, truth):
+    """Per-horizon-step fraction of samples below the truth.
+
+    ``samples``: ``(n_paths, H)``; ``truth``: ``(H,)``.  A perfectly
+    calibrated forecaster's percentiles are uniform on [0, 1].
+    """
+    samples = jnp.asarray(samples)
+    truth = jnp.asarray(truth)
+    return jnp.mean((samples < truth[None, :]).astype(jnp.float32), axis=0)
+
+
+def calibration(percentiles, levels=None):
+    """Fraction of realized percentiles inside centered bands.
+
+    For each level ``p`` the ideal fraction inside ``[0.5 - p/2, 0.5 + p/2]``
+    is ``p`` (the notebook's ``Calibration`` curve vs the diagonal).
+    Returns ``(levels, observed_fractions)``.
+    """
+    percentiles = jnp.asarray(percentiles).reshape(-1)
+    if levels is None:
+        levels = jnp.linspace(0.05, 0.95, 19)
+    lo = 0.5 - levels / 2
+    hi = 0.5 + levels / 2
+    inside = (percentiles[None, :] >= lo[:, None]) & (
+        percentiles[None, :] <= hi[:, None]
+    )
+    return levels, jnp.mean(inside.astype(jnp.float32), axis=1)
+
+
+def calibration_curve(samples_list, truths_list, levels=None):
+    """Aggregate calibration over many forecast windows."""
+    pcts = jnp.concatenate([
+        sample_percentiles(s, t).reshape(-1)
+        for s, t in zip(samples_list, truths_list)
+    ])
+    return calibration(pcts, levels)
+
+
+def crps(samples, truth):
+    """Continuous ranked probability score per horizon step (sample-based
+    estimator ``E|X - y| - 0.5 E|X - X'|``), lower is better."""
+    samples = jnp.asarray(samples)  # (S, H)
+    truth = jnp.asarray(truth)
+    term1 = jnp.mean(jnp.abs(samples - truth[None, :]), axis=0)
+    s_sorted = jnp.sort(samples, axis=0)
+    n = samples.shape[0]
+    # E|X - X'| = 2/n^2 * sum_i (2i - n - 1) x_(i)  (sorted form)
+    coef = (2.0 * jnp.arange(1, n + 1) - n - 1.0) / (n * n)
+    term2 = 2.0 * jnp.sum(coef[:, None] * s_sorted, axis=0)
+    return term1 - 0.5 * term2

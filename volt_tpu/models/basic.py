@@ -61,12 +61,24 @@ class BasicGP(ConfigEq):
             "likelihood": self.likelihood.init(dtype),
         }
 
+    def train_mean(self, params, x, y):
+        """Mean over the train grid (Magpie means use the train branch)."""
+        if self.mean.is_history_dependent:
+            return self.mean.train_values(params["mean"], y)
+        return self.mean(params["mean"], x)
+
     def mll(self, params, x, y):
         cov = self.kernel(params["kernel"], x)
         noise = self.likelihood.noise(params["likelihood"])
-        return exact_mll(y, self.mean(params["mean"], x), cov, noise)
+        return exact_mll(y, self.train_mean(params, x, y), cov, noise)
 
     def posterior(self, params, train_x, train_y, test_x):
+        if self.mean.is_history_dependent:
+            raise ValueError(
+                "joint posteriors need a deterministic mean; Magpie-mean "
+                "baselines forecast through nonvol_rollouts (reference "
+                "BasicWind.py:70-76)"
+            )
         k_tr = self.kernel(params["kernel"], train_x)
         k_tr_te = self.kernel(params["kernel"], train_x, test_x)
         k_te = self.kernel(params["kernel"], test_x)

@@ -1,0 +1,56 @@
+"""High-level convenience API: construct, ``Train()``, ``Forecast()``.
+
+Mirrors the reference's ``Volt`` class (``models/Volt.py``): the
+constructor takes the full log-price series and a mean name; ``Train`` runs
+the entire pipeline (GPCV -> vol model -> data model); ``Forecast``
+delegates to the rollout sampler.  The reference's ``Forecast`` passes
+kwargs its own ``Rollouts`` does not accept and raises ``TypeError``
+(SURVEY.md preamble) — fixed by design here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..rollouts import rollouts
+from ..train import learn_gpcv, train_vol_model, train_volt_magpie
+
+__all__ = ["Volt"]
+
+
+class Volt:
+    def __init__(self, train_x, log_data, mean: str = "constant", k: int = 25):
+        self.train_x = jnp.asarray(train_x)   # full grid, length n
+        self.log_data = jnp.asarray(log_data)  # full log prices, length n
+        self.mean_name = mean
+        self.k = k
+        self.model = None
+
+    def Train(self, gpcv_iters: int = 400, vol_mod_iters: int = 1000,
+              data_mod_iters: int = 400, display: bool = False, key=None):
+        """GPCV -> vol GP -> data model (reference ``Volt.Train``,
+        ``Volt.py:95-146``)."""
+        x = self.train_x
+        data = jnp.exp(self.log_data)
+        vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display)
+        vol_state = train_vol_model(x[1:], vol, vol_mod_iters,
+                                    printing=display)
+        self.model = train_volt_magpie(
+            x[1:], data[1:], vol_state, vol, train_iters=data_mod_iters,
+            printing=display, k=self.k, mean_func=self.mean_name, key=key,
+        )
+        return self.model
+
+    def Forecast(self, test_x, nsample: int = 50, mean_revert: bool = False,
+                 theta: float = 0.05, key=None):
+        """MC forecast samples ``(nsample, H)`` of log prices."""
+        if self.model is None:
+            raise RuntimeError("call Train() first")
+        if key is None:
+            key = jax.random.key(0)
+        return rollouts(
+            key, self.model, self.train_x[1:], jnp.exp(self.log_data),
+            jnp.asarray(test_x), nsample=nsample,
+            theta=theta if mean_revert else None,
+        )
