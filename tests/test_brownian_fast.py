@@ -1,0 +1,135 @@
+"""Analytic Brownian-kernel algebra vs dense factorizations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu.models.bmgp import BMGP
+from volt_tpu.models.gpcv import GPCVModel
+from volt_tpu.ops import mvn_kl, psd_safe_cholesky
+from volt_tpu.ops.brownian import (
+    bm_kl_against_prior,
+    bm_logdet,
+    bm_solve_lower,
+    bm_solve_upper,
+)
+from volt_tpu.gp.variational import VariationalState, elbo_at_inducing
+
+
+@pytest.fixture()
+def grid(rng):
+    n = 40
+    return jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+
+
+class TestBrownianOps:
+    def test_solve_lower_matches_dense(self, rng, grid):
+        n = grid.shape[0]
+        m = np.minimum(np.asarray(grid)[:, None], np.asarray(grid)[None, :])
+        chol = np.linalg.cholesky(m.astype(np.float64))
+        b = rng.standard_normal(n).astype(np.float32)
+        got = bm_solve_lower(grid, jnp.asarray(b))
+        expected = np.linalg.solve(chol, b)
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    def test_solve_upper_matches_dense(self, rng, grid):
+        n = grid.shape[0]
+        m = np.minimum(np.asarray(grid)[:, None], np.asarray(grid)[None, :])
+        chol = np.linalg.cholesky(m.astype(np.float64))
+        b = rng.standard_normal(n).astype(np.float32)
+        got = bm_solve_upper(grid, jnp.asarray(b))
+        expected = np.linalg.solve(chol.T, b)
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    def test_logdet(self, grid):
+        m = np.minimum(np.asarray(grid)[:, None], np.asarray(grid)[None, :])
+        expected = np.linalg.slogdet(m.astype(np.float64))[1]
+        assert float(bm_logdet(grid)) == pytest.approx(expected, rel=1e-4)
+
+    def test_kl_matches_dense(self, rng, grid):
+        n = grid.shape[0]
+        vol = jnp.asarray([0.23])
+        mq = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        mp = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+        cq = jnp.asarray(
+            np.tril(0.05 * rng.standard_normal((n, n)) + np.eye(n) * 0.3
+                    ).astype(np.float32)
+        )
+        kuu = 0.23 * jnp.minimum(grid[:, None], grid[None, :])
+        expected = mvn_kl(mq, cq, mp, psd_safe_cholesky(kuu))
+        got = bm_kl_against_prior(grid, vol, mq, cq, mp)
+        assert float(got) == pytest.approx(float(expected), rel=1e-3)
+
+
+class TestFastTrainingPaths:
+    def test_gpcv_elbo_bm_matches_dense(self, rng, grid):
+        n = grid.shape[0]
+        y = jnp.asarray((0.02 * rng.standard_normal(n)).astype(np.float32))
+        module = GPCVModel()
+        params = module.init(grid, y)
+        fast = float(module.elbo(params, grid, y))
+        # dense oracle through the generic path
+        kuu = module.kernel(params["kernel"], grid)
+        state = VariationalState(params["variational_mean"],
+                                 params["chol_variational_covar"])
+        prior = module.mean(params["mean"], grid)
+
+        def ell(yy, mean, var):
+            return module.likelihood.expected_log_prob({}, yy, mean, var)
+
+        dense = float(elbo_at_inducing(state, prior, kuu, y, ell))
+        assert fast == pytest.approx(dense, rel=1e-3)
+
+    def test_gpcv_elbo_grads_match(self, rng, grid):
+        n = grid.shape[0]
+        y = jnp.asarray((0.02 * rng.standard_normal(n)).astype(np.float32))
+        module = GPCVModel()
+        params = module.init(grid, y)
+
+        def dense_loss(p):
+            kuu = module.kernel(p["kernel"], grid)
+            state = VariationalState(p["variational_mean"],
+                                     p["chol_variational_covar"])
+            prior = module.mean(p["mean"], grid)
+
+            def ell(yy, mean, var):
+                return module.likelihood.expected_log_prob({}, yy, mean, var)
+
+            return -elbo_at_inducing(state, prior, kuu, y, ell)
+
+        g_fast = jax.grad(lambda p: -module.elbo(p, grid, y))(params)
+        g_dense = jax.grad(dense_loss)(params)
+        np.testing.assert_allclose(
+            g_fast["kernel"]["raw_vol"], g_dense["kernel"]["raw_vol"],
+            rtol=2e-2, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            g_fast["variational_mean"], g_dense["variational_mean"],
+            rtol=2e-2, atol=2e-3,
+        )
+
+    def test_bmgp_mll_fast_matches_dense(self, rng, grid):
+        n = grid.shape[0]
+        y = jnp.asarray(np.log(0.2 + 0.05 * rng.random(n)).astype(np.float32))
+        module = BMGP()
+        params = module.init()
+        cache = module.grid_cache(grid)
+        fast = float(module.mll_fast(params, grid, y, cache))
+        dense = float(module.mll(params, grid, y))
+        assert fast == pytest.approx(dense, rel=1e-4)
+
+    def test_bmgp_mll_fast_grads_match(self, rng, grid):
+        n = grid.shape[0]
+        y = jnp.asarray(np.log(0.2 + 0.05 * rng.random(n)).astype(np.float32))
+        module = BMGP()
+        params = module.init()
+        cache = module.grid_cache(grid)
+        g_fast = jax.grad(
+            lambda p: -module.mll_fast(p, grid, y, cache)
+        )(params)
+        g_dense = jax.grad(lambda p: -module.mll(p, grid, y))(params)
+        for path in (("kernel", "raw_vol"), ("likelihood", "raw_noise")):
+            a = g_fast[path[0]][path[1]]
+            b = g_dense[path[0]][path[1]]
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)

@@ -72,6 +72,35 @@ class BMGP(ConfigEq):
         noise = self.likelihood.noise(params["likelihood"])
         return exact_mll(y, self.mean(params, x), cov, noise)
 
+    # -- factorization-free training path (BM kernel only) ------------------
+    #
+    # K + s I = vol * M + s I with M = min(x) FIXED: eigendecompose M once
+    # per grid, and every (vol, noise) pair re-uses it — the per-iteration
+    # cost of the vol-model fit drops from O(n^3) to O(n^2) (the reference
+    # re-factorizes each Adam step, SURVEY.md §3.2 hot loop).
+
+    def grid_cache(self, x):
+        if not isinstance(self.kernel, BMKernel):
+            return None
+        m = jnp.minimum(x[..., :, None], x[..., None, :])
+        evals, evecs = jnp.linalg.eigh(m)
+        return jnp.maximum(evals, 0.0), evecs
+
+    def mll_fast(self, params, x, y, cache):
+        import math
+
+        evals, evecs = cache
+        n = y.shape[-1]
+        vol = self.kernel.vol(params["kernel"])[..., 0]
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        r = y - self.mean(params, x)
+        rot = jnp.einsum("...ij,...i->...j", evecs, r,
+                         precision=jax.lax.Precision.HIGHEST)
+        denom = vol[..., None] * evals + noise[..., None]
+        quad = jnp.sum(rot * rot / denom, axis=-1)
+        logdet = jnp.sum(jnp.log(denom), axis=-1)
+        return -0.5 * (quad + logdet + n * math.log(2.0 * math.pi)) / n
+
     def posterior(self, params, train_x, train_y, test_x):
         """Latent posterior ``p(f* | y)`` (noisy conditioning on train)."""
         k_tr = self.kernel(params["kernel"], train_x)

@@ -23,6 +23,7 @@ from ..gp.variational import (
 from ..kernels import BMKernel, FBMKernel
 from ..likelihoods import VolatilityGaussianLikelihood
 from ..means import ConstantMean
+from ..ops.brownian import bm_kl_against_prior
 from ..ops.quadrature import DEFAULT_NUM_LOCS
 from ..utils.static import ConfigEq
 
@@ -75,8 +76,14 @@ class GPCVModel(ConfigEq):
         )
 
     def elbo(self, params, train_x, y):
-        """Variational ELBO at inducing == train == query points."""
-        kuu = self.kernel(params["kernel"], train_x)
+        """Variational ELBO at inducing == train == query points.
+
+        For the BM kernel the KL's prior-side algebra is closed-form (the
+        min-kernel Cholesky is a diff-and-scale operator,
+        :mod:`volt_tpu.ops.brownian`), so each ELBO+grad step is
+        factorization-free — the reference pays a dense Cholesky per
+        iteration here (SURVEY.md §3.1 hot loop).
+        """
         prior_mean = self.mean(params["mean"], train_x)
 
         def ell(yy, mean, var):
@@ -84,8 +91,19 @@ class GPCVModel(ConfigEq):
                 params["likelihood"], yy, mean, var, num_locs=self.num_locs
             )
 
-        return elbo_at_inducing(self._var_state(params), prior_mean, kuu, y,
-                                ell)
+        state = self._var_state(params)
+        if isinstance(self.kernel, BMKernel):
+            n = y.shape[-1]
+            chol_q = jnp.tril(state.chol_variational_covar)
+            marg_var = jnp.sum(chol_q * chol_q, axis=-1)
+            ell_vals = ell(y, state.variational_mean, marg_var)
+            kl = bm_kl_against_prior(
+                train_x, self.kernel.vol(params["kernel"]),
+                state.variational_mean, chol_q, prior_mean,
+            )
+            return jnp.mean(ell_vals, axis=-1) - kl / n
+        kuu = self.kernel(params["kernel"], train_x)
+        return elbo_at_inducing(state, prior_mean, kuu, y, ell)
 
     def latent_marginals(self, params, train_x, test_x=None):
         """Posterior marginals of the latent ``f``.

@@ -1,0 +1,109 @@
+"""Closed-form linear algebra for Brownian (min) kernels.
+
+``M[i, j] = min(x_i, x_j)`` (sorted positive ``x``) factors analytically:
+``M = L L^T`` with ``L = T D``, where ``T`` is the lower-triangular ones
+matrix and ``D = diag(sqrt(dx))``, ``dx_j = x_j - x_{j-1}`` (``x_{-1}=0``).
+Consequently
+
+* ``L^{-1} b = diff(b) / sqrt(dx)``            — O(n), no factorization;
+* ``L^{-T} b = reverse-cumsum(b / sqrt(dx))``  — O(n);
+* ``logdet M = sum log dx``                    — O(n);
+* ``M + s I`` diagonalizes through the *fixed* eigendecomposition of ``M``
+  once per grid: ``vol*M + s I = Q (vol*lam + s) Q^T`` for every
+  ``(vol, s)`` — one O(n^3) factorization per **fit**, O(n^2) per
+  training iteration.
+
+This is what makes the GPCV/vol-GP training loops factorization-free: the
+reference's per-iteration GPyTorch Cholesky (SURVEY.md §3.1-3.2 hot loops)
+becomes a diff-and-scale.  The scaled kernel ``K = vol * M`` just carries
+``vol`` through: ``chol(K) = sqrt(vol) L``, ``logdet K = n log vol +
+logdet M``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "bm_increments",
+    "bm_solve_lower",
+    "bm_solve_upper",
+    "bm_logdet",
+    "bm_kl_against_prior",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def bm_increments(x):
+    """``dx_j = x_j - x_{j-1}`` with ``x_{-1} = 0`` (must be positive)."""
+    x = jnp.asarray(x)
+    return jnp.diff(x, axis=-1, prepend=jnp.zeros_like(x[..., :1]))
+
+
+def bm_solve_lower(x, b, axis: int = -1):
+    """``L^{-1} b`` for ``L = chol(min(x))`` along ``axis`` of ``b``: O(n)."""
+    dx = bm_increments(x)
+    b = jnp.moveaxis(b, axis, -1)
+    out = jnp.diff(b, axis=-1, prepend=jnp.zeros_like(b[..., :1]))
+    out = out / jnp.sqrt(dx)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def bm_solve_upper(x, b, axis: int = -1):
+    """``L^{-T} b``: backward difference of ``b / sqrt(dx)``.
+
+    ``L^T = D T^T`` with ``T^T`` the upper-ones matrix, whose inverse is the
+    upper bidiagonal difference ``z_i - z_{i+1}``.
+    """
+    dx = bm_increments(x)
+    b = jnp.moveaxis(b, axis, -1)
+    scaled = b / jnp.sqrt(dx)
+    out = scaled - jnp.concatenate(
+        [scaled[..., 1:], jnp.zeros_like(scaled[..., :1])], -1
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
+def bm_logdet(x):
+    """``logdet min(x) = sum log dx``."""
+    return jnp.sum(jnp.log(bm_increments(x)), axis=-1)
+
+
+def bm_kl_against_prior(x, vol, mean_q, chol_q, mean_p, jitter: float = 1e-6):
+    """``KL(N(mean_q, Cq Cq^T) || N(mean_p, vol * min(x)))`` — O(n^2).
+
+    The prior-side solves use the analytic bidiagonal inverse; the only
+    O(n^2) work is differencing the columns of ``Cq``.  Matches
+    :func:`volt_tpu.ops.mvn.mvn_kl` against the dense factorization.
+
+    Grids routinely start at ``x_0 = 0`` (the reference's
+    ``arange(n-1) * dt``), which makes the prior singular; the dense path
+    survives via the jitter ladder (``K + jitter I``).  Here the same
+    regularization lands in the increment domain: increments are floored at
+    ``jitter / vol``, which reproduces the ``jitter`` marginal variance on
+    the singular first point and leaves nonsingular increments untouched.
+    """
+    n = mean_q.shape[-1]
+    vol0 = vol[..., 0] if (hasattr(vol, "ndim") and vol.ndim) else vol
+    dx = jnp.maximum(bm_increments(x), jitter / vol0)
+    sqrt_dx = jnp.sqrt(dx)
+
+    def solve_lower(b, axis=-1):
+        b = jnp.moveaxis(b, axis, -1)
+        out = jnp.diff(b, axis=-1, prepend=jnp.zeros_like(b[..., :1]))
+        return jnp.moveaxis(out / sqrt_dx, -1, axis)
+
+    chol_q = jnp.tril(chol_q)
+    a = solve_lower(chol_q, axis=-2)
+    trace = jnp.sum(a * a, axis=(-2, -1)) / vol0
+    d = solve_lower(mean_p - mean_q)
+    quad = jnp.sum(d * d, axis=-1) / vol0
+    logdet_p = n * jnp.log(vol0) + jnp.sum(jnp.log(dx), axis=-1)
+    logdet_q = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_q, axis1=-2, axis2=-1))), axis=-1
+    )
+    return 0.5 * (trace + quad - n + logdet_p - logdet_q)

@@ -73,12 +73,16 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     )
     vol = gpcv.predicted_scale(gpcv_params, train_x)
 
-    # ---- stage 2: vol GP --------------------------------------------------
+    # ---- stage 2: vol GP (one eigh per fit; O(n^2) per Adam step) ---------
     log_vol = jnp.log(vol)
     bm = BMGP(kernel=config.kernel)
+    cache = bm.grid_cache(train_x)
+    if cache is not None:
+        vol_loss_fn = lambda p: -bm.mll_fast(p, train_x, log_vol, cache)
+    else:
+        vol_loss_fn = lambda p: -bm.mll(p, train_x, log_vol)
     vol_params, vol_losses = _adam_scan(
-        lambda p: -bm.mll(p, train_x, log_vol),
-        bm.init(), config.vol_iters, config.vol_lr,
+        vol_loss_fn, bm.init(), config.vol_iters, config.vol_lr
     )
     vol_state = bm.fit_state(vol_params, train_x, log_vol)
 

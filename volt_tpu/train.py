@@ -136,9 +136,13 @@ def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False
 
 @partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
 def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr):
-    return _adam_scan(
-        lambda p: -module.mll(p, train_x, log_vol), params, train_iters, lr
-    )
+    cache = module.grid_cache(train_x)
+    if cache is not None:
+        # one eigh of the fixed min(x) matrix; O(n^2) per Adam step after.
+        loss = lambda p: -module.mll_fast(p, train_x, log_vol, cache)
+    else:
+        loss = lambda p: -module.mll(p, train_x, log_vol)
+    return _adam_scan(loss, params, train_iters, lr)
 
 
 def train_vol_model(train_x, vol_path, train_iters: int = 1000,
