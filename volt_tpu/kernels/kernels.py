@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -185,10 +186,17 @@ class VolatilityKernel(ConfigEq):
         del params
         x = _as_grid(x)
         vol_path = _as_grid(vol_path)
-        integral = vol_integral(x, vol_path)
         if diag:
-            return integral
-        return min_index_covariance(integral)
+            return vol_integral(x, vol_path)
+        if (
+            os.environ.get("VOLT_TPU_USE_PALLAS") == "1"
+            and x.ndim == 1
+            and vol_path.ndim in (1, 2)
+        ):
+            from ..ops.pallas import volt_covariance
+
+            return volt_covariance(x, vol_path)
+        return min_index_covariance(vol_integral(x, vol_path))
 
     @staticmethod
     def integral(x, vol_path):
