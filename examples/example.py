@@ -1,0 +1,77 @@
+"""End-to-end walkthrough — the reference's ``example.ipynb`` as a script.
+
+Simulates a SABR-like SDE with known volatility, runs the full two-stage
+pipeline (GPCV volatility inference -> vol GP -> Volt price model), draws
+hierarchical forecasts (vol paths x price paths), and reports how well the
+learned volatility tracks the truth.
+
+Run:  python examples/example.py  [--steps 400 --gpcv_iters 500]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volt_tpu.data import sabr_paths
+from volt_tpu.rollouts import generate_prediction
+from volt_tpu.train import learn_gpcv, train_data_model, train_vol_model
+
+
+def main(args):
+    # --- synthetic SDE with known vol (example.ipynb cells 2-3) ---
+    f, v_true = sabr_paths(steps=args.steps, seed=2019)
+    n = args.steps - 1
+    t_max = 1.0
+    dt = t_max / args.steps
+    train_x = jnp.linspace(0, t_max, n) + dt
+    test_x = jnp.linspace(t_max + dt, 1.5 * t_max, args.steps // 2 - 1) + dt
+    prices = jnp.asarray(f)
+
+    # --- stage 1: GPCV (cells 8-9) ---
+    vol = learn_gpcv(train_x, prices, train_iters=args.gpcv_iters,
+                     printing=True)
+    err = float(jnp.mean(jnp.abs(vol - v_true[1:])) / jnp.mean(v_true[1:]))
+    print(f"\nlearned vol vs truth: mean |rel err| = {err:.3f}")
+
+    # --- stage 2: vol GP (cell 11) ---
+    vol_state = train_vol_model(train_x, vol, train_iters=args.vol_iters,
+                                printing=True)
+
+    # --- stage 3: Volt data model (cell 12) ---
+    model = train_data_model(train_x, prices[1:], vol_state, vol,
+                             train_iters=args.data_iters, printing=True)
+
+    # --- hierarchical sampling: nvol vol paths x npx price paths (cell 15)
+    nvol, npx = 8, 1
+    key = jax.random.key(0)
+    k_vol, k_px = jax.random.split(key)
+    log_vol_draws = vol_state.sample(k_vol, test_x, (nvol,))
+    vol_paths = jnp.exp(log_vol_draws)
+    px_paths = jnp.exp(
+        generate_prediction(k_px, model, test_x, vol_paths, n_sample=npx)
+    ).reshape(nvol * npx, -1)
+
+    print(f"\nforecast horizon: {test_x.shape[0]} steps")
+    print(f"vol paths:   {vol_paths.shape}  (mean {float(vol_paths.mean()):.3f})")
+    print(f"price paths: {px_paths.shape}  "
+          f"(start {float(px_paths[:, 0].mean()):.2f} "
+          f"vs last price {float(prices[-1]):.2f})")
+
+    q = np.quantile(np.asarray(px_paths), [0.1, 0.5, 0.9], axis=0)
+    print("\nforecast fan (10/50/90% quantiles at horizon end):",
+          [round(float(x), 2) for x in q[:, -1]])
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--gpcv_iters", type=int, default=500)
+    p.add_argument("--vol_iters", type=int, default=500)
+    p.add_argument("--data_iters", type=int, default=400)
+    main(p.parse_args())

@@ -1,0 +1,64 @@
+"""Correlated multi-asset Volt: multitask training + joint rollouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu.data import sabr_paths
+from volt_tpu.rollouts import rollouts_multitask
+from volt_tpu.train import learn_gpcv, train_volt_multitask
+
+N, H, T = 70, 6, 3
+DT = 1.0 / 252
+
+
+@pytest.fixture(scope="module")
+def fitted_mt():
+    f, _ = sabr_paths(steps=N + 1, seed=9, n_paths=T)
+    train_x = jnp.arange(N, dtype=jnp.float32) * DT
+    test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
+    vols = jnp.stack([
+        learn_gpcv(train_x, jnp.asarray(f[t]), train_iters=40)
+        for t in range(T)
+    ])
+    volt_state, mt_state = train_volt_multitask(
+        train_x, jnp.asarray(f[:, 1:]), vols, train_iters=30, vol_iters=40,
+        k=15, mean_func="ewma",
+    )
+    return f, train_x, test_x, volt_state, mt_state
+
+
+class TestMultitaskVolt:
+    def test_state_shapes(self, fitted_mt):
+        f, train_x, test_x, volt_state, mt_state = fitted_mt
+        assert volt_state.train_y.shape == (T, N)
+        assert mt_state.train_y.shape == (N, T)
+
+    def test_vol_mll_finite(self, fitted_mt):
+        _, train_x, _, _, mt_state = fitted_mt
+        mll = mt_state.module.mll(mt_state.params, train_x,
+                                  mt_state.train_y)
+        assert np.isfinite(float(mll))
+
+    def test_joint_rollouts(self, fitted_mt):
+        f, train_x, test_x, volt_state, mt_state = fitted_mt
+        samples = rollouts_multitask(
+            jax.random.key(0), volt_state, mt_state, jnp.asarray(f),
+            test_x, nsample=24, theta=0.05,
+        )
+        assert samples.shape == (T, 24, H)
+        assert np.isfinite(np.asarray(samples)).all()
+        # each asset's forecast continues from its own last price
+        for t in range(T):
+            first = np.asarray(samples[t, :, 0]).mean()
+            assert abs(first - np.log(f[t, -1])) < 0.2
+
+    def test_vol_forecasts_correlated(self, fitted_mt):
+        # correlated task covariance => cross-asset vol-path correlation
+        _, _, test_x, _, mt_state = fitted_mt
+        draws = mt_state.sample(jax.random.key(1), test_x, (4000,))
+        a = np.asarray(draws[..., -1, 0])
+        b = np.asarray(draws[..., -1, 1])
+        c = abs(np.corrcoef(a, b)[0, 1])
+        assert np.isfinite(c)

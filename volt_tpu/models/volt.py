@@ -85,6 +85,16 @@ class VoltState:
         return self.module.mll(self.params, self.train_x, self.train_y,
                                jnp.exp(self.log_vol_path))
 
+    def vol_mll(self):
+        """Exact MLL of the nested vol GP on the stored log-vol path
+        (reference ``VolMLL``, VoltronGP.py:57-60)."""
+        if self.vol_state is None:
+            raise ValueError("no fitted vol GP attached")
+        return self.vol_state.module.mll(
+            self.vol_state.params, self.vol_state.train_x,
+            self.vol_state.train_y,
+        )
+
 
 class VoltGP(ConfigEq):
     """Static configuration + pure functions for the Volt exact GP."""

@@ -44,6 +44,7 @@ __all__ = [
     "sample_prediction",
     "mean_prediction",
     "nonvol_rollouts",
+    "rollouts_multitask",
     "generate_prediction_dense",
     "rollouts_dense",
     "nonvol_rollouts_dense",
@@ -488,3 +489,46 @@ def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50):
         xs = jnp.concatenate([xs, test_x[t][None]], -1)
         ys = jnp.concatenate([ys, y_t[:, None]], -1)
     return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Correlated multi-asset rollouts (multitask vol GP)
+# ---------------------------------------------------------------------------
+
+
+def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
+                       test_x, nsample: int = 50, theta=None):
+    """Autoregressive rollouts for T correlated assets.
+
+    ``volt_state`` carries leading task dims (from
+    :func:`volt_tpu.train.train_volt_multitask`); ``mt_vol_state`` is the
+    fitted :class:`~volt_tpu.models.multitask.MultitaskBMGPState`.  Vol
+    forecasts are *jointly correlated across assets* through the Kronecker
+    task covariance; price paths then evolve per asset via the Markov scan.
+    Returns ``(T, nsample, H)`` log-price samples.
+    """
+    test_x = jnp.asarray(test_x)
+    h = test_x.shape[-1]
+    num_tasks = volt_state.train_y.shape[0]
+    k_vol, k_z = jax.random.split(key)
+
+    # (S, H, T) correlated log-vol draws -> (T, S, H) vol paths
+    log_vols = mt_vol_state.sample(k_vol, test_x, (nsample,))
+    pred_vol = jnp.exp(jnp.moveaxis(log_vols, -1, 0))
+    zs = jax.random.normal(k_z, (num_tasks, nsample, h),
+                           volt_state.train_y.dtype)
+
+    use_theta = theta is not None
+    if use_theta:
+        latent = jnp.mean(jnp.log(jnp.asarray(train_ys)), axis=-1)
+    else:
+        latent = jnp.zeros((num_tasks,), volt_state.train_y.dtype)
+    theta_val = jnp.float32(theta if use_theta else 0.0)
+
+    def one(task_state, lat, pv, z):
+        return _rollout_volt_scan(task_state, lat, test_x, pv, z, use_theta,
+                                  theta_val)
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+        volt_state, latent, pred_vol, zs
+    )

@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import lax
 
@@ -51,6 +52,7 @@ __all__ = [
     "train_data_model",
     "train_volt_magpie",
     "train_basic_model",
+    "train_volt_multitask",
     "scaled_returns",
     # reference-style aliases
     "LearnGPCV",
@@ -277,3 +279,64 @@ TrainVolModel = train_vol_model
 TrainDataModel = train_data_model
 TrainVoltMagpieModel = train_volt_magpie
 TrainBasicModel = train_basic_model
+
+
+# ---------------------------------------------------------------------------
+# Correlated multi-asset Volt (the reference's batched VoltronGP path)
+# ---------------------------------------------------------------------------
+
+
+def train_volt_multitask(train_x, train_ys, vol_paths, train_iters: int = 400,
+                         vol_iters: int = 400, k: int = 25,
+                         theta: float = 0.5, mean_func: str = "ewma",
+                         lr: float = 0.1, vol_lr: float = 0.01,
+                         rank: int = 1, printing: bool = False, key=None):
+    """Batched price GPs + a Kronecker multitask vol GP.
+
+    The reference's batched ``VoltronGP`` keeps per-asset exact price GPs
+    (conditionally independent given their vol paths) and couples assets
+    through a ``MultitaskBMGP`` over the log-vol paths
+    (``VoltronGP.py:43-50``).  Returns ``(volt_state, mt_vol_state)`` where
+    ``volt_state`` carries leading task dims on every array.
+
+    ``train_ys``: ``(T, n)`` prices on the return grid; ``vol_paths``:
+    ``(T, n)``.
+    """
+    from .models.multitask import MultitaskBMGP
+
+    train_x = jnp.asarray(train_x)
+    train_ys = jnp.asarray(train_ys)
+    vol_paths = jnp.asarray(vol_paths)
+    num_tasks = train_ys.shape[0]
+    log_ys = jnp.log(train_ys)
+
+    module = VoltGP(mean=make_mean(mean_func, k=k, theta=theta))
+
+    def fit_one(log_y, vol):
+        params, losses = _fit_volt(module, module.init(), train_x, log_y,
+                                   vol, train_iters, lr)
+        return params, losses
+
+    params_b, losses_b = jax.vmap(fit_one)(log_ys, vol_paths)
+    if printing:
+        print("data-model final losses:",
+              np.asarray(losses_b[:, -1]) if train_iters else "(no iters)")
+
+    mt = MultitaskBMGP(num_tasks=num_tasks, rank=rank)
+    log_vols_nt = jnp.log(vol_paths).T  # (n, T)
+    mt_params, mt_losses = jax.jit(
+        lambda p: _adam_scan(
+            lambda q: -mt.mll(q, train_x, log_vols_nt), p, vol_iters, vol_lr
+        )
+    )(mt.init(key=key))
+    mt_state = mt.fit_state(mt_params, train_x, log_vols_nt)
+
+    volt_state = VoltState(
+        module=module,
+        params=params_b,
+        train_x=jnp.broadcast_to(train_x, (num_tasks, train_x.shape[-1])),
+        train_y=log_ys,
+        log_vol_path=jnp.log(vol_paths),
+        vol_state=None,
+    )
+    return volt_state, mt_state
