@@ -222,3 +222,83 @@ class TestVariational:
         s = np.tril(np.asarray(cv))
         np.testing.assert_allclose(mean, vm, rtol=1e-2, atol=1e-3)
         np.testing.assert_allclose(cov, s @ s.T, rtol=5e-2, atol=5e-3)
+
+
+class TestWhitenedStrategy:
+    """Whitened and unwhitened strategies describe the same variational
+    family: under m' = L^{-1}(m - mu), S' = L^{-1} S L^{-T} the ELBOs and
+    predictives coincide."""
+
+    def _setup(self, rng, n=12):
+        x = np.sort(rng.random(n)).astype(np.float32)
+        kuu = jnp.asarray(
+            (np.minimum(x[:, None], x[None, :]) + 0.05 * np.eye(n)).astype(
+                np.float32
+            )
+        )
+        prior = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+        m = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        cq = jnp.asarray(
+            np.tril(0.1 * rng.standard_normal((n, n)) + np.eye(n) * 0.4
+                    ).astype(np.float32)
+        )
+        y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        return x, kuu, prior, m, cq, y
+
+    def test_elbo_equivalence(self, rng):
+        from volt_tpu.gp.variational import elbo_at_inducing_whitened
+        from volt_tpu.ops.chol import solve_lower_triangular
+
+        x, kuu, prior, m, cq, y = self._setup(rng)
+        lk = np.linalg.cholesky(np.asarray(kuu, np.float64))
+
+        def ell(yy, mean, var):
+            return -0.5 * (np.log(2 * np.pi) + (yy - mean) ** 2 + var)
+
+        un = gp.elbo_at_inducing(VariationalState(m, cq), prior, kuu, y, ell)
+        # reparameterize into whitened coordinates
+        m_w = jnp.asarray(
+            np.linalg.solve(lk, np.asarray(m - prior, np.float64)),
+            jnp.float32,
+        )
+        cq_w = jnp.asarray(
+            np.linalg.solve(lk, np.asarray(jnp.tril(cq), np.float64)),
+            jnp.float32,
+        )
+        wh = elbo_at_inducing_whitened(
+            VariationalState(m_w, jnp.tril(cq_w)), prior, kuu, y, ell
+        )
+        assert float(wh) == pytest.approx(float(un), rel=2e-3)
+
+    def test_predict_equivalence(self, rng):
+        from volt_tpu.gp.variational import variational_predict_whitened
+
+        x, kuu, prior, m, cq, y = self._setup(rng)
+        n = x.shape[0]
+        tx = jnp.asarray(
+            np.sort(rng.random(5) + 1.0).astype(np.float32)
+        )
+        kux = jnp.asarray(
+            np.minimum(np.asarray(x)[:, None], np.asarray(tx)[None, :])
+        ).astype(jnp.float32)
+        kxx = jnp.asarray(
+            (np.minimum(np.asarray(tx)[:, None], np.asarray(tx)[None, :])
+             + 0.05 * np.eye(5)).astype(np.float32)
+        )
+        prior_x = jnp.zeros(5)
+        lk = np.linalg.cholesky(np.asarray(kuu, np.float64))
+        mean_u, cov_u = gp.variational_predict(
+            VariationalState(m, cq), prior, kuu, kux, prior_x, kxx=kxx
+        )
+        m_w = jnp.asarray(np.linalg.solve(lk, np.asarray(m - prior,
+                                                         np.float64)),
+                          jnp.float32)
+        cq_w = jnp.asarray(
+            np.linalg.solve(lk, np.asarray(jnp.tril(cq), np.float64)),
+            jnp.float32,
+        )
+        mean_w, cov_w = variational_predict_whitened(
+            VariationalState(m_w, cq_w), kuu, kux, prior_x, kxx=kxx
+        )
+        np.testing.assert_allclose(mean_w, mean_u, rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(cov_w, cov_u, rtol=2e-2, atol=2e-3)

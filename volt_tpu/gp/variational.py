@@ -32,8 +32,10 @@ from ..ops.mvn import mvn_kl
 
 __all__ = [
     "elbo_at_inducing",
+    "elbo_at_inducing_whitened",
     "laplace_initialize",
     "variational_predict",
+    "variational_predict_whitened",
     "VariationalState",
 ]
 
@@ -104,6 +106,71 @@ def variational_predict(state: VariationalState, prior_mean_u, kuu,
     if kxx_diag is None:
         raise ValueError("pass kxx or kxx_diag")
     data_term = jnp.sum(kux * kuu_inv_kux, axis=-2)
+    s_term = jnp.sum(half * half, axis=-2)
+    return mean, kxx_diag - data_term + s_term
+
+
+def elbo_at_inducing_whitened(state: VariationalState, prior_mean, kuu, y,
+                              expected_log_prob_fn, num_data=None,
+                              beta: float = 1.0):
+    """Whitened-strategy ELBO at inducing == train == query.
+
+    In the whitened parameterization ``f = mu + L_K u'`` with
+    ``u' ~ q = N(m, S)``: the marginals are
+    ``mean = mu + L_K m``, ``var_i = row_i(L_K S L_K^T)`` and the KL is
+    against the standard normal — no prior solves at all.  (The reference's
+    GPCV always selects the unwhitened strategy,
+    ``train_utils.py:26-30``; this exists for the
+    ``use_whitened_var_strat=True`` configuration of
+    ``single_task_variational_gp.py:96-102``.)
+    """
+    n = y.shape[-1]
+    if num_data is None:
+        num_data = n
+    chol_q = _tril(state.chol_variational_covar)
+    chol_k = psd_safe_cholesky(kuu)
+    mean = prior_mean + jnp.einsum(
+        "...ij,...j->...i", chol_k, state.variational_mean,
+        precision=_HIGHEST,
+    )
+    half = jnp.matmul(chol_k, chol_q, precision=_HIGHEST)
+    marg_var = jnp.sum(half * half, axis=-1)
+    ell = expected_log_prob_fn(y, mean, marg_var)
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=kuu.dtype), chol_q.shape
+    )
+    kl = mvn_kl(state.variational_mean, chol_q,
+                jnp.zeros_like(state.variational_mean), eye)
+    return jnp.mean(ell, axis=-1) - kl * beta / num_data
+
+
+def variational_predict_whitened(state: VariationalState, kuu, kux,
+                                 prior_mean_x, kxx_diag=None, kxx=None):
+    """Whitened predictive at arbitrary points.
+
+    ``mean = Kxu L_K^{-T} m + mu_x``;
+    ``cov = Kxx - Kxu Kuu^{-1} Kux + (Kxu L_K^{-T}) S (L_K^{-1} Kux)``.
+    """
+    from ..ops.chol import solve_lower_triangular
+
+    chol_k = psd_safe_cholesky(kuu)
+    interp = solve_lower_triangular(chol_k, kux)  # L_K^{-1} Kux: (n_u, n_x)
+    mean = jnp.einsum(
+        "...ux,...u->...x", interp, state.variational_mean,
+        precision=_HIGHEST,
+    ) + prior_mean_x
+    chol_q = _tril(state.chol_variational_covar)
+    half = jnp.matmul(jnp.swapaxes(chol_q, -1, -2), interp,
+                      precision=_HIGHEST)
+    if kxx is not None:
+        data_term = jnp.matmul(jnp.swapaxes(interp, -1, -2), interp,
+                               precision=_HIGHEST)
+        s_term = jnp.matmul(jnp.swapaxes(half, -1, -2), half,
+                            precision=_HIGHEST)
+        return mean, kxx - data_term + s_term
+    if kxx_diag is None:
+        raise ValueError("pass kxx or kxx_diag")
+    data_term = jnp.sum(interp * interp, axis=-2)
     s_term = jnp.sum(half * half, axis=-2)
     return mean, kxx_diag - data_term + s_term
 
