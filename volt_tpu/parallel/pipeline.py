@@ -22,9 +22,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.gpcv import GPCVModel
 from ..models.bmgp import BMGP
 from ..models.volt import VoltGP, make_mean
+from ..ops.tridiag import brownian_noise_mll
 from ..rollouts import _rollout_volt_scan, sample_vol_paths
 from ..train import _adam_scan, scaled_returns
-from ..gp.exact import exact_mll_fixed_cov
 
 __all__ = ["PipelineConfig", "fit_forecast", "fit_forecast_batch",
            "shard_batch"]
@@ -86,20 +86,22 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     )
     vol_state = bm.fit_state(vol_params, train_x, log_vol)
 
-    # ---- stage 3: Volt data model (fixed covariance -> eig fast path) ----
+    # ---- stage 3: Volt data model (tridiagonal-precision MLL; O(n)/step) --
     log_y = jnp.log(train_y[..., 1:])
     volt = VoltGP(mean=make_mean(config.mean_func, k=config.k))
     volt_params = volt.init()
-    cache = volt.make_cov_cache(train_x, vol)
+    v_integral = volt.kernel.integral(train_x, vol)
     if volt.mean.is_history_dependent:
         mean_vec = volt.train_mean(volt_params, train_x, log_y)
 
         def data_loss(p):
-            noise = volt.likelihood.noise(p["likelihood"])
-            return -exact_mll_fixed_cov(log_y, mean_vec, cache, noise)
+            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
+            return -brownian_noise_mll(v_integral, noise, log_y - mean_vec)
     else:
         def data_loss(p):
-            return -volt.mll_fixed_cov(p, cache, train_x, log_y)
+            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
+            mv = volt.train_mean(p, train_x, log_y)
+            return -brownian_noise_mll(v_integral, noise, log_y - mv)
 
     volt_params, data_losses = _adam_scan(
         data_loss, volt_params, config.data_iters, config.data_lr

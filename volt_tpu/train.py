@@ -22,10 +22,14 @@ structural: each loss simply closes over the frozen state (the vol path and
 vol-GP parameters are data to the price-model loss), so there is nothing to
 mask.
 
-TPU fast path: the Volt data-model covariance is constant during its fit
-(only mean/noise train), so it is eigendecomposed once and each of the
-``train_iters`` MLL+grad steps costs O(n^2) instead of O(n^3); for
-EWMA-family means the whole mean vector is also hoisted out of the loop.
+TPU fast paths: no training stage pays a per-iteration factorization.
+The GPCV KL uses the Brownian prior's closed-form bidiagonal inverse
+(O(n^2)/step, zero factorizations); the vol GP re-uses one eigh of the
+fixed min(x) grid matrix (O(n^2)/step); the Volt data model exploits the
+min-kernel's *tridiagonal precision* — logdet and solves through
+associative scans at O(n) work per MLL+grad step (``ops/tridiag.py``).
+For EWMA-family means the whole mean vector is also hoisted out of the
+loop.
 """
 
 from __future__ import annotations
@@ -38,8 +42,9 @@ import numpy as np
 import optax
 from jax import lax
 
-from .gp.exact import exact_mll_fixed_cov
+
 from .kernels import SpectralMixtureKernel
+from .ops.tridiag import brownian_noise_mll
 from .models.basic import BasicGP, MaternGP, SMGP, BasicGPState
 from .models.bmgp import BMGP, BMGPState
 from .models.gpcv import GPCVModel, GPCVState
@@ -171,18 +176,25 @@ def train_vol_model(train_x, vol_path, train_iters: int = 1000,
 @partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
 def _fit_volt(module: VoltGP, params, train_x, log_y, vol_path, train_iters,
               lr):
-    cache = module.make_cov_cache(train_x, vol_path)
+    # The Volt covariance is a min-kernel with a frozen vol path, so its
+    # precision is tridiagonal: every MLL+grad step is O(n) work through
+    # associative scans — no eigendecomposition, no Cholesky, ever
+    # (ops/tridiag.py; the reference pays a dense factorization per Adam
+    # step, SURVEY.md §3.2).
+    v = module.kernel.integral(train_x, vol_path)
     if module.mean.is_history_dependent:
         # mean vector is independent of trainable params: hoist it.
         mean_vec = module.train_mean(params, train_x, log_y)
 
         def loss(p):
-            noise = module.likelihood.noise(p["likelihood"])
-            return -exact_mll_fixed_cov(log_y, mean_vec, cache, noise)
+            noise = module.likelihood.noise(p["likelihood"])[..., 0]
+            return -brownian_noise_mll(v, noise, log_y - mean_vec)
 
     else:
         def loss(p):
-            return -module.mll_fixed_cov(p, cache, train_x, log_y)
+            noise = module.likelihood.noise(p["likelihood"])[..., 0]
+            mean_vec = module.train_mean(p, train_x, log_y)
+            return -brownian_noise_mll(v, noise, log_y - mean_vec)
 
     return _adam_scan(loss, params, train_iters, lr)
 
