@@ -21,20 +21,37 @@ annotations over a device mesh, not hand-written communication.
 
 __version__ = "0.1.0"
 
-from . import kernels, likelihoods, means, models, ops, rollouts, train
+from . import (
+    calibration,
+    kernels,
+    likelihoods,
+    means,
+    models,
+    ops,
+    options,
+    parallel,
+    rollouts,
+    train,
+)
+from .models.volt_api import Volt
+from .options import ECDF, Pricer, ecdf, pricer
 from .rollouts import (
     generate_prediction,
     mean_prediction,
+    nonvol_rollouts,
     rollouts as Rollouts,
+    rollouts_multitask,
     sample_prediction,
     sample_vol_paths,
 )
 from .train import (
     learn_gpcv,
+    learn_gpcv_sparse,
     train_basic_model,
     train_data_model,
     train_vol_model,
     train_volt_magpie,
+    train_volt_multitask,
 )
 
 __all__ = [
@@ -45,15 +62,27 @@ __all__ = [
     "models",
     "train",
     "rollouts",
+    "options",
+    "calibration",
+    "parallel",
+    "Volt",
     "learn_gpcv",
+    "learn_gpcv_sparse",
     "train_vol_model",
     "train_data_model",
     "train_volt_magpie",
     "train_basic_model",
+    "train_volt_multitask",
     "generate_prediction",
     "sample_prediction",
     "mean_prediction",
     "sample_vol_paths",
+    "nonvol_rollouts",
+    "rollouts_multitask",
     "Rollouts",
+    "ecdf",
+    "pricer",
+    "ECDF",
+    "Pricer",
     "__version__",
 ]

@@ -105,6 +105,74 @@ class GPCVModel(ConfigEq):
         kuu = self.kernel(params["kernel"], train_x)
         return elbo_at_inducing(state, prior_mean, kuu, y, ell)
 
+    def init_sparse(self, train_x, inducing_x, y, key=None,
+                    dtype=jnp.float32):
+        """Sparse (inducing-point) init for long series.
+
+        The reference caps sequence length at n ~ 2000
+        (``max_cholesky_size``, ``GPGenerator.py:62``).  Here the exact
+        Volt/vol stages are already O(n)-capable (tridiagonal precision /
+        shared-grid eigendecomposition), and this SVGP-style GPCV with
+        ``m << n`` inducing points removes the last quadratic object — the
+        full-rank variational covariance — for n in the tens of thousands.
+        The Laplace heuristic initializes the inducing values from the
+        running std subsampled onto the inducing grid.
+        """
+        kernel_params = self.kernel.init(dtype)
+        kuu = self.kernel(kernel_params, inducing_x)
+        from ..gp.variational import running_std_latent_init
+
+        f_full, rs = running_std_latent_init(y)
+        n = train_x.shape[-1]
+        m = inducing_x.shape[-1]
+        take = jnp.clip(
+            jnp.searchsorted(train_x, inducing_x), 0, n - 1
+        )
+        f_m = f_full[..., take]
+        # no x10 root inflation here: that is a full-rank-parity choice
+        # (single_task_variational_gp.py:251); the sparse extension starts
+        # at the plain Laplace covariance, which converges much faster.
+        state, _ = laplace_initialize(kuu, y[..., take], f=f_m,
+                                      root_scale=1.0)
+        return {
+            "kernel": kernel_params,
+            "mean": {"constant": jnp.log(jnp.mean(rs, axis=-1))[..., None]},
+            "likelihood": self.likelihood.init(dtype, key=key),
+            "variational_mean": state.variational_mean,
+            "chol_variational_covar": state.chol_variational_covar,
+        }
+
+    def elbo_sparse(self, params, train_x, inducing_x, y):
+        """SVGP ELBO: GH expected log-prob of the unwhitened predictive
+        marginals at the n train points + KL over the m inducing points."""
+        state = self._var_state(params)
+        kuu = self.kernel(params["kernel"], inducing_x)
+        kux = self.kernel(params["kernel"], inducing_x, train_x)
+        kxx_diag = self.kernel(params["kernel"], train_x, diag=True)
+        prior_u = self.mean(params["mean"], inducing_x)
+        prior_x = self.mean(params["mean"], train_x)
+        mean, var = variational_predict(state, prior_u, kuu, kux, prior_x,
+                                        kxx_diag=kxx_diag)
+        var = jnp.maximum(var, 1e-8)
+        ell = self.likelihood.expected_log_prob(
+            params["likelihood"], y, mean, var, num_locs=self.num_locs
+        )
+        n = y.shape[-1]
+        if isinstance(self.kernel, BMKernel):
+            kl = bm_kl_against_prior(
+                inducing_x, self.kernel.vol(params["kernel"]),
+                state.variational_mean,
+                jnp.tril(state.chol_variational_covar), prior_u,
+            )
+        else:
+            from ..ops.chol import psd_safe_cholesky
+            from ..ops.mvn import mvn_kl
+
+            kl = mvn_kl(state.variational_mean,
+                        jnp.tril(state.chol_variational_covar), prior_u,
+                        psd_safe_cholesky(kuu))
+        return jnp.mean(ell, axis=-1) - kl / n
+
     def latent_marginals(self, params, train_x, test_x=None):
         """Posterior marginals of the latent ``f``.
 

@@ -53,6 +53,7 @@ from .means import LogLinearMean
 
 __all__ = [
     "learn_gpcv",
+    "learn_gpcv_sparse",
     "train_vol_model",
     "train_data_model",
     "train_volt_magpie",
@@ -132,6 +133,49 @@ def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False
                       targets=yy)
     pred_scale = state.predicted_scale(mc_samples=mc_scale_samples, key=key)
     if return_model:
+        return pred_scale, state
+    return pred_scale
+
+
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
+def _fit_gpcv_sparse(module: GPCVModel, params, train_x, inducing_x, yy,
+                     train_iters, lr):
+    return _adam_scan(
+        lambda p: -module.elbo_sparse(p, train_x, inducing_x, yy),
+        params, train_iters, lr,
+    )
+
+
+def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
+                      train_iters: int = 1000, kernel: str = "bm",
+                      lr: float = 0.01, return_model: bool = False,
+                      key=None):
+    """Sparse-GPCV volatility inference for long series.
+
+    The reference's exact-GP machinery caps n at ~2000; with m inducing
+    points this stage is O(n m^2) per step and the rest of the pipeline is
+    already O(n)-capable, so series of 10^4-10^5 points fit end-to-end.
+    Returns the predicted scale on the full train grid.
+    """
+    train_x = jnp.asarray(train_x)
+    yy = scaled_returns(train_x, train_y)
+    n = train_x.shape[-1]
+    m = min(num_inducing, n)
+    idx = jnp.asarray(
+        np.unique(np.round(np.linspace(0, n - 1, m)).astype(np.int64))
+    )
+    inducing_x = train_x[..., idx]
+    module = GPCVModel(kernel=kernel)
+    params = module.init_sparse(train_x, inducing_x, yy, key=key)
+    params, _ = _fit_gpcv_sparse(module, params, train_x, inducing_x, yy,
+                                 train_iters, lr)
+    mean, var = module.latent_marginals(params, inducing_x, train_x)
+    pred_scale = module.likelihood.expected_scale(
+        params["likelihood"], mean, jnp.maximum(var, 1e-8)
+    )
+    if return_model:
+        state = GPCVState(module=module, params=params, train_x=inducing_x,
+                          targets=yy)
         return pred_scale, state
     return pred_scale
 
