@@ -65,3 +65,25 @@ class TestGHExpectedLogProbPallas:
         expected = lh.expected_log_prob({}, jnp.asarray(y), jnp.asarray(mu),
                                         jnp.asarray(s2))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestEwmaPallas:
+    @pytest.mark.parametrize("k", [5, 64, 300])
+    def test_matches_xla(self, rng, k):
+        from volt_tpu.ops.pallas import ewma_pallas
+        from volt_tpu.ops.ewma import ewma
+
+        y = (rng.standard_normal(433) + 5.0).astype(np.float32)
+        got = ewma_pallas(jnp.asarray(y), k)
+        expected = ewma(jnp.asarray(y), k)
+        assert got.shape == (434,)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    def test_batched(self, rng):
+        from volt_tpu.ops.pallas import ewma_pallas
+        from volt_tpu.ops.ewma import ewma
+
+        y = rng.standard_normal((5, 200)).astype(np.float32)
+        got = ewma_pallas(jnp.asarray(y), 20)
+        np.testing.assert_allclose(got, ewma(jnp.asarray(y), 20),
+                                   rtol=1e-5, atol=1e-6)
