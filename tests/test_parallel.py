@@ -62,3 +62,28 @@ class TestPipeline:
         s2, _ = fit_forecast_batch(jax.random.key(1), train_x, ys, test_x,
                                    CFG, mesh=mesh)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-4)
+
+
+class TestOptionPricingAtScale:
+    def test_price_grid_sharded(self, batch_data, devices):
+        from volt_tpu.parallel import price_options_batch
+        import numpy as np
+
+        train_x, ys, test_x = batch_data
+        mesh = None
+        strikes = jnp.asarray([80.0, 100.0, 120.0])
+        expiries = jnp.asarray([2, 5])
+        realized = np.asarray(ys)[:, -1:] * np.ones((1, 2))
+        out = price_options_batch(
+            jax.random.key(0), train_x, ys, test_x, strikes, expiries,
+            CFG, mesh=make_mesh((4, 2), devices=devices),
+            realized=realized,
+        )
+        values = np.asarray(out["values"])
+        assert values.shape == (8, 3, 2)
+        assert np.isfinite(values).all() and (values >= 0).all()
+        # monotone decreasing in strike
+        assert (np.diff(values, axis=1) <= 1e-5).all()
+        pct = np.asarray(out["percentiles"])
+        assert pct.shape == (8, 2)
+        assert ((pct >= 0) & (pct <= 1)).all()

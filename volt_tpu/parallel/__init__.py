@@ -9,6 +9,7 @@ communication anywhere — the backend is the compiler.
 """
 
 from .mesh import make_mesh, multihost_initialize
+from .pricing import price_options_batch
 from .pipeline import (
     PipelineConfig,
     fit_forecast,
@@ -23,4 +24,5 @@ __all__ = [
     "fit_forecast",
     "fit_forecast_batch",
     "shard_batch",
+    "price_options_batch",
 ]
