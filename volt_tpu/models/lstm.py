@@ -106,6 +106,7 @@ def _train(key, y, seq_len, hidden_size, num_layers, epochs, batch_size, lr):
     norm = (y - mean) / std
     windows, targets = make_windows(norm, seq_len)
     n = windows.shape[0]
+    batch_size = min(batch_size, n)
     nbatch = max(n // batch_size, 1)
 
     net = _Net(hidden_size, num_layers)
