@@ -62,3 +62,22 @@ class TestMultitaskVolt:
         b = np.asarray(draws[..., -1, 1])
         c = abs(np.corrcoef(a, b)[0, 1])
         assert np.isfinite(c)
+
+
+class TestMultitaskWindDriver:
+    def test_run_multitask_wind(self, tmp_path):
+        from volt_tpu.experiments import run_multitask_wind
+
+        rng = np.random.default_rng(0)
+        data = [np.abs(rng.standard_normal(80)).astype(np.float32) + 0.5
+                for _ in range(3)]
+        names = {0: "a", 1: "b", 2: "c"}
+        out = run_multitask_wind(names, data, ntrain=60, forecast_horizon=5,
+                                 nsample=8, gpcv_iters=10, vol_iters=15,
+                                 k=20, out_path=str(tmp_path / "mt.p"))
+        assert out["x_paths"].shape == (3, 8, 5)
+        assert np.isfinite(out["x_paths"]).all()
+        assert out["names_list"] == ["a", "b", "c"]
+        import pickle
+        loaded = pickle.load(open(tmp_path / "mt.p", "rb"))
+        assert loaded["x_paths"].shape == (3, 8, 5)

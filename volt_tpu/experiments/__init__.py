@@ -1,6 +1,7 @@
 """Backtest drivers and CLIs (reference ``experiments/``)."""
 
 from .basic_wind import basic_wind_rollouts
+from .mt_wind import run_multitask_wind
 from .generate_preds import (
     generate_basic_predictions,
     generate_gpcv_predictions,
@@ -14,4 +15,5 @@ __all__ = [
     "generate_one_day_predictions",
     "generate_basic_predictions",
     "generate_gpcv_predictions",
+    "run_multitask_wind",
 ]

@@ -125,6 +125,11 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
         "gpcv_loss": gpcv_losses[-1],
         "vol_loss": vol_losses[-1],
         "data_loss": data_losses[-1],
+        # full per-step trajectories: the structured metrics stream the
+        # reference only exposes as prints every 50 iters (SURVEY.md §5)
+        "gpcv_losses": gpcv_losses,
+        "vol_losses": vol_losses,
+        "data_losses": data_losses,
         "volt_params": volt_params,
         "vol_params": vol_params,
     }
