@@ -1,0 +1,84 @@
+"""End-to-end statistical validation: on well-specified synthetic data
+(GBM with known constant vol), the full pipeline's forecasts must be
+*calibrated* — realized sample percentiles approximately uniform — which is
+the reference paper's own quality protocol (calibration curves vs the
+diagonal, SURVEY.md §4/§6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu.calibration import calibration, sample_percentiles
+from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
+
+NTRAIN, H, WINDOWS = 150, 10, 24
+DT = 1.0 / 252
+TRUE_VOL = 0.25
+
+
+@pytest.fixture(scope="module")
+def forecasts_and_truth():
+    rng = np.random.default_rng(7)
+    total = NTRAIN + H
+    # independent GBM windows, zero drift, constant vol
+    z = rng.standard_normal((WINDOWS, total - 1))
+    logp = np.concatenate(
+        [np.zeros((WINDOWS, 1)),
+         np.cumsum(TRUE_VOL * np.sqrt(DT) * z, axis=1)],
+        axis=1,
+    )
+    prices = (50.0 * np.exp(logp)).astype(np.float32)
+
+    train_x = jnp.arange(NTRAIN - 1, dtype=jnp.float32) * DT
+    test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
+    cfg = PipelineConfig(gpcv_iters=150, vol_iters=150, data_iters=100,
+                         mean_func="ewma", k=50, nsample=400)
+    samples, aux = fit_forecast_batch(
+        jax.random.key(0), train_x, jnp.asarray(prices[:, :NTRAIN]),
+        test_x, cfg,
+    )
+    truth = np.log(prices[:, NTRAIN:])  # (W, H) realized log prices
+    return np.asarray(samples), truth, np.asarray(aux["vol"])
+
+
+class TestEndToEndCalibration:
+    def test_vol_estimates_near_truth(self, forecasts_and_truth):
+        _, _, vols = forecasts_and_truth
+        med = np.median(vols)
+        assert 0.6 * TRUE_VOL < med < 1.6 * TRUE_VOL, med
+
+    def test_percentiles_not_degenerate(self, forecasts_and_truth):
+        samples, truth, _ = forecasts_and_truth
+        pcts = np.stack([
+            np.asarray(sample_percentiles(jnp.asarray(samples[w]),
+                                          jnp.asarray(truth[w])))
+            for w in range(WINDOWS)
+        ])  # (W, H)
+        # realized percentiles should spread across (0,1), not pile at the
+        # edges (which would mean badly over/under-confident forecasts)
+        flat = pcts.reshape(-1)
+        assert 0.25 < flat.mean() < 0.75
+        assert flat.std() > 0.15
+        frac_extreme = np.mean((flat < 0.02) | (flat > 0.98))
+        assert frac_extreme < 0.25, frac_extreme
+
+    def test_calibration_curve_near_diagonal(self, forecasts_and_truth):
+        samples, truth, _ = forecasts_and_truth
+        pcts = np.concatenate([
+            np.asarray(sample_percentiles(jnp.asarray(samples[w]),
+                                          jnp.asarray(truth[w])))
+            for w in range(WINDOWS)
+        ])
+        levels, observed = calibration(jnp.asarray(pcts))
+        # W*H = 240 correlated observations: loose band around the diagonal
+        err = np.max(np.abs(np.asarray(observed) - np.asarray(levels)))
+        assert err < 0.30, (np.asarray(levels), np.asarray(observed))
+
+    def test_forecast_dispersion_matches_horizon(self, forecasts_and_truth):
+        # MC std should grow ~ vol * sqrt(t) across the horizon
+        samples, _, _ = forecasts_and_truth
+        stds = samples.std(axis=1).mean(axis=0)  # (H,)
+        expected = TRUE_VOL * np.sqrt(DT * np.arange(1, H + 1))
+        ratio = stds / expected
+        assert 0.5 < np.median(ratio) < 2.0, ratio
