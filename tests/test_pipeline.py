@@ -210,3 +210,68 @@ class TestRolloutParity:
         first = np.asarray(samples)[:, 0]
         last_log = float(jnp.log(train_y[-1]))
         assert abs(first.mean() - last_log) < 0.05
+
+
+class TestRolloutClosedForm:
+    """With a constant mean, the Markov rollout is exactly a random walk
+    from the last observation: y_t ~ N(y_L, sum_{s<=t} (dx/2) vol_s^2)
+    (pred_mean telescopes: m + (y_prev - m) = y_prev).  Fixing the vol
+    paths makes the whole sampler's distribution analytic."""
+
+    def test_distribution_matches_closed_form(self, sde):
+        train_x, train_y, test_x, _ = sde
+        from volt_tpu.models.bmgp import BMGP
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import ConstantMean
+        from volt_tpu.rollouts import _rollout_volt_scan
+
+        vol_const = 0.3
+        nsample = 40_000
+        bm = BMGP()
+        vol_state = bm.fit_state(bm.init(), train_x,
+                                 jnp.log(vol_const * jnp.ones(N)))
+        volt = VoltGP(mean=ConstantMean())
+        params = {"mean": {"constant": jnp.asarray([1.0])},
+                  "likelihood": volt.likelihood.init()}
+        model = volt.fit_state(params, train_x, jnp.log(train_y[1:]),
+                               vol_const * jnp.ones(N), vol_state)
+
+        pred_vol = vol_const * jnp.ones((nsample, HORIZON))
+        zs = jax.random.normal(jax.random.key(9), (nsample, HORIZON))
+        samples = np.asarray(
+            _rollout_volt_scan(model, jnp.float32(0), test_x, pred_vol, zs,
+                               False, jnp.float32(0))
+        )
+        y_last = float(jnp.log(train_y[-1]))
+        var_step = 0.5 * DT * vol_const**2
+        for t in range(HORIZON):
+            mu, sd = samples[:, t].mean(), samples[:, t].std()
+            assert mu == pytest.approx(y_last, abs=4 * sd / np.sqrt(nsample)
+                                       + 1e-4)
+            expected_sd = np.sqrt(var_step * (t + 1))
+            assert sd == pytest.approx(expected_sd, rel=0.03), t
+
+    def test_theta_shrinks_toward_latent(self, sde):
+        # with theta=1 the predictive mean IS the latent mean at every step
+        train_x, train_y, test_x, _ = sde
+        from volt_tpu.models.bmgp import BMGP
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import ConstantMean
+        from volt_tpu.rollouts import _rollout_volt_scan
+
+        bm = BMGP()
+        vol_state = bm.fit_state(bm.init(), train_x,
+                                 jnp.log(0.2 * jnp.ones(N)))
+        volt = VoltGP(mean=ConstantMean())
+        params = {"mean": {"constant": jnp.asarray([0.0])},
+                  "likelihood": volt.likelihood.init()}
+        model = volt.fit_state(params, train_x, jnp.log(train_y[1:]),
+                               0.2 * jnp.ones(N), vol_state)
+        latent = jnp.float32(5.0)
+        pred_vol = 1e-5 * jnp.ones((2000, HORIZON))
+        zs = jax.random.normal(jax.random.key(1), (2000, HORIZON))
+        samples = np.asarray(
+            _rollout_volt_scan(model, latent, test_x, pred_vol, zs, True,
+                               jnp.float32(1.0))
+        )
+        np.testing.assert_allclose(samples, 5.0, atol=1e-3)
