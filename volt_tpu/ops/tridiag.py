@@ -38,6 +38,7 @@ __all__ = [
     "tridiag_ldl_pivots",
     "tridiag_solve",
     "brownian_noise_mll",
+    "brownian_noise_mll_kalman",
 ]
 
 
@@ -156,3 +157,49 @@ def brownian_noise_mll(v, sigma2, resid):
     quad = jnp.sum(r * x, axis=-1)
 
     return -0.5 * (quad + logdet + n * math.log(2.0 * math.pi)) / n
+
+
+def brownian_noise_mll_kalman(v, sigma2, resid):
+    """Numerically robust alternative: the Kalman-filter MLL.
+
+    The min-kernel + noise model IS a scalar state-space model — a random
+    walk ``f_t = f_{t-1} + w_t``, ``w_t ~ N(0, D_t)`` observed through
+    ``y_t = f_t + eps``, ``eps ~ N(0, s)`` — so the filter's innovation
+    decomposition gives the exact MLL in O(n) *sequential* steps with
+    all-positive recursions (no cancellation; accurate even when the
+    increments span many orders of magnitude, where the LDL minor
+    recurrence of :func:`brownian_noise_mll` loses float32 digits).
+
+    Batched over leading dims of ``resid``/``sigma2`` (``v`` may broadcast).
+    """
+    v = jnp.asarray(v)
+    resid = jnp.asarray(resid)
+    n = resid.shape[-1]
+    delta = jnp.diff(v, axis=-1, prepend=jnp.zeros_like(v[..., :1]))
+    s2 = jnp.asarray(sigma2)
+
+    batch = jnp.broadcast_shapes(resid.shape[:-1], s2.shape,
+                                 delta.shape[:-1])
+    delta_b = jnp.broadcast_to(delta, (*batch, n))
+    resid_b = jnp.broadcast_to(resid, (*batch, n))
+    s2_b = jnp.broadcast_to(s2, batch)
+
+    def step(carry, inp):
+        mean, var, ll = carry
+        d_t, y_t = inp
+        var_pred = var + d_t
+        innov_var = var_pred + s2_b
+        e = y_t - mean
+        ll = ll - 0.5 * (jnp.log(innov_var) + e * e / innov_var
+                         + math.log(2.0 * math.pi))
+        gain = var_pred / innov_var
+        mean = mean + gain * e
+        var = var_pred * (1.0 - gain)
+        return (mean, var, ll), None
+
+    zeros = jnp.zeros(batch, resid.dtype)
+    (_, _, ll), _ = lax.scan(
+        step, (zeros, zeros, zeros),
+        (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),
+    )
+    return ll / n

@@ -22,7 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.gpcv import GPCVModel
 from ..models.bmgp import BMGP
 from ..models.volt import VoltGP, make_mean
-from ..ops.tridiag import brownian_noise_mll
+from ..ops.tridiag import brownian_noise_mll_kalman
 from ..rollouts import _rollout_volt_scan, sample_vol_paths
 from ..train import _adam_scan, scaled_returns
 
@@ -96,12 +96,12 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
 
         def data_loss(p):
             noise = volt.likelihood.noise(p["likelihood"])[..., 0]
-            return -brownian_noise_mll(v_integral, noise, log_y - mean_vec)
+            return -brownian_noise_mll_kalman(v_integral, noise, log_y - mean_vec)
     else:
         def data_loss(p):
             noise = volt.likelihood.noise(p["likelihood"])[..., 0]
             mv = volt.train_mean(p, train_x, log_y)
-            return -brownian_noise_mll(v_integral, noise, log_y - mv)
+            return -brownian_noise_mll_kalman(v_integral, noise, log_y - mv)
 
     volt_params, data_losses = _adam_scan(
         data_loss, volt_params, config.data_iters, config.data_lr

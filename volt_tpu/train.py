@@ -44,7 +44,7 @@ from jax import lax
 
 
 from .kernels import SpectralMixtureKernel
-from .ops.tridiag import brownian_noise_mll
+from .ops.tridiag import brownian_noise_mll_kalman
 from .models.basic import BasicGP, MaternGP, SMGP, BasicGPState
 from .models.bmgp import BMGP, BMGPState
 from .models.gpcv import GPCVModel, GPCVState
@@ -220,11 +220,11 @@ def train_vol_model(train_x, vol_path, train_iters: int = 1000,
 @partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
 def _fit_volt(module: VoltGP, params, train_x, log_y, vol_path, train_iters,
               lr):
-    # The Volt covariance is a min-kernel with a frozen vol path, so its
-    # precision is tridiagonal: every MLL+grad step is O(n) work through
-    # associative scans — no eigendecomposition, no Cholesky, ever
-    # (ops/tridiag.py; the reference pays a dense factorization per Adam
-    # step, SURVEY.md §3.2).
+    # The Volt covariance is a min-kernel with a frozen vol path — a
+    # random-walk-plus-noise state-space model — so every MLL+grad step is
+    # an O(n) Kalman-filter scan: no eigendecomposition, no Cholesky, ever,
+    # and all-positive recursions (ops/tridiag.py; the reference pays a
+    # dense factorization per Adam step, SURVEY.md §3.2).
     v = module.kernel.integral(train_x, vol_path)
     if module.mean.is_history_dependent:
         # mean vector is independent of trainable params: hoist it.
@@ -232,13 +232,13 @@ def _fit_volt(module: VoltGP, params, train_x, log_y, vol_path, train_iters,
 
         def loss(p):
             noise = module.likelihood.noise(p["likelihood"])[..., 0]
-            return -brownian_noise_mll(v, noise, log_y - mean_vec)
+            return -brownian_noise_mll_kalman(v, noise, log_y - mean_vec)
 
     else:
         def loss(p):
             noise = module.likelihood.noise(p["likelihood"])[..., 0]
             mean_vec = module.train_mean(p, train_x, log_y)
-            return -brownian_noise_mll(v, noise, log_y - mean_vec)
+            return -brownian_noise_mll_kalman(v, noise, log_y - mean_vec)
 
     return _adam_scan(loss, params, train_iters, lr)
 
