@@ -133,3 +133,36 @@ class TestFastTrainingPaths:
             a = g_fast[path[0]][path[1]]
             b = g_dense[path[0]][path[1]]
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+class TestBMGPKalman:
+    def test_mll_kalman_matches_dense(self, rng, grid):
+        y = jnp.asarray(np.log(0.2 + 0.05 * rng.random(40)).astype(np.float32))
+        module = BMGP()
+        params = module.init()
+        kf = float(module.mll_kalman(params, grid, y))
+        dense = float(module.mll(params, grid, y))
+        assert kf == pytest.approx(dense, rel=1e-4)
+
+    def test_mll_kalman_grads_match(self, rng, grid):
+        y = jnp.asarray(np.log(0.2 + 0.05 * rng.random(40)).astype(np.float32))
+        module = BMGP()
+        params = module.init()
+        gk = jax.grad(lambda p: -module.mll_kalman(p, grid, y))(params)
+        gd = jax.grad(lambda p: -module.mll(p, grid, y))(params)
+        for path in (("kernel", "raw_vol"), ("likelihood", "raw_noise")):
+            np.testing.assert_allclose(gk[path[0]][path[1]],
+                                       gd[path[0]][path[1]],
+                                       rtol=5e-3, atol=1e-5)
+
+    def test_mll_kalman_zero_first_gridpoint(self, rng):
+        # stock grids start at x0 = 0; the filter must handle delta0 = 0.
+        n = 30
+        x = jnp.arange(n, dtype=jnp.float32) / 252
+        y = jnp.asarray(np.log(0.2 + 0.05 * rng.random(n)).astype(np.float32))
+        module = BMGP()
+        params = module.init()
+        kf = float(module.mll_kalman(params, x, y))
+        dense = float(module.mll(params, x, y))
+        assert np.isfinite(kf)
+        assert kf == pytest.approx(dense, rel=1e-3)

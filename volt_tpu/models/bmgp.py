@@ -86,6 +86,22 @@ class BMGP(ConfigEq):
         evals, evecs = jnp.linalg.eigh(m)
         return jnp.maximum(evals, 0.0), evecs
 
+    def mll_kalman(self, params, x, y):
+        """O(n) exact MLL via the Kalman filter (BM kernel only).
+
+        ``vol * min(x) + s I`` is a random walk with increments
+        ``vol * dx`` observed under noise ``s`` — the filter's innovation
+        decomposition gives the same value/gradients as the dense MLL with
+        no factorization at all (robust to ``x_0 = 0``: a zero first
+        increment is just a delta prior).
+        """
+        from ..ops.tridiag import brownian_noise_mll_kalman
+
+        vol = self.kernel.vol(params["kernel"])[..., 0]
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        resid = y - self.mean(params, x)
+        return brownian_noise_mll_kalman(vol[..., None] * x, noise, resid)
+
     def mll_fast(self, params, x, y, cache):
         import math
 

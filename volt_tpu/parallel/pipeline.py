@@ -73,12 +73,11 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     )
     vol = gpcv.predicted_scale(gpcv_params, train_x)
 
-    # ---- stage 2: vol GP (one eigh per fit; O(n^2) per Adam step) ---------
+    # ---- stage 2: vol GP (O(n) Kalman MLL per Adam step) ------------------
     log_vol = jnp.log(vol)
     bm = BMGP(kernel=config.kernel)
-    cache = bm.grid_cache(train_x)
-    if cache is not None:
-        vol_loss_fn = lambda p: -bm.mll_fast(p, train_x, log_vol, cache)
+    if config.kernel == "bm":
+        vol_loss_fn = lambda p: -bm.mll_kalman(p, train_x, log_vol)
     else:
         vol_loss_fn = lambda p: -bm.mll(p, train_x, log_vol)
     vol_params, vol_losses = _adam_scan(

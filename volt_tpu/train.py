@@ -187,10 +187,11 @@ def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
 
 @partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
 def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr):
-    cache = module.grid_cache(train_x)
-    if cache is not None:
-        # one eigh of the fixed min(x) matrix; O(n^2) per Adam step after.
-        loss = lambda p: -module.mll_fast(p, train_x, log_vol, cache)
+    from .kernels import BMKernel
+
+    if isinstance(module.kernel, BMKernel):
+        # O(n) Kalman-filter MLL per Adam step; no factorization at all.
+        loss = lambda p: -module.mll_kalman(p, train_x, log_vol)
     else:
         loss = lambda p: -module.mll(p, train_x, log_vol)
     return _adam_scan(loss, params, train_iters, lr)
