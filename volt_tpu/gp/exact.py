@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.chol import psd_safe_cholesky, cholesky_solve
+from ..ops.chol import psd_safe_cholesky
 from ..ops.mvn import conditional, mvn_log_prob_chol
 
 __all__ = [

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.constraints import GreaterThan, Interval, Positive
+from ..ops.constraints import Interval, Positive
 from ..ops.volint import min_index_covariance, vol_integral
 
 from ..utils.static import ConfigEq

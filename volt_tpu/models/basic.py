@@ -6,7 +6,6 @@ mean-function overrides applied by ``train_utils.TrainBasicModel:146-189``.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.struct as struct
 import jax

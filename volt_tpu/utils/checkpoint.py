@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 
 __all__ = ["save_pytree", "restore_pytree", "save_volt_state",
            "restore_volt_state"]
