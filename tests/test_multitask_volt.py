@@ -81,3 +81,18 @@ class TestMultitaskWindDriver:
         import pickle
         loaded = pickle.load(open(tmp_path / "mt.p", "rb"))
         assert loaded["x_paths"].shape == (3, 8, 5)
+
+
+class TestMultitaskGPCV:
+    def test_learn_gpcv_multitask(self):
+        from volt_tpu.train import learn_gpcv_multitask
+        from volt_tpu.data import sabr_paths
+
+        f, v = sabr_paths(steps=61, seed=3, n_paths=3)
+        dt = 1.0 / 252
+        train_x = jnp.arange(60, dtype=jnp.float32) * dt
+        scales = learn_gpcv_multitask(train_x, jnp.asarray(f),
+                                      train_iters=40)
+        assert scales.shape == (3, 60)
+        assert np.isfinite(np.asarray(scales)).all()
+        assert (np.asarray(scales) > 0).all()

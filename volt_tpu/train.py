@@ -54,6 +54,7 @@ from .means import LogLinearMean
 __all__ = [
     "learn_gpcv",
     "learn_gpcv_sparse",
+    "learn_gpcv_multitask",
     "train_vol_model",
     "train_data_model",
     "train_volt_magpie",
@@ -177,6 +178,48 @@ def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
         state = GPCVState(module=module, params=params, train_x=inducing_x,
                           targets=yy)
         return pred_scale, state
+    return pred_scale
+
+
+def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
+                         rank: int = 1, lr: float = 0.01,
+                         num_locs: int = 75, return_model: bool = False,
+                         key=None):
+    """Kronecker multitask GPCV: one variational vol model coupling T
+    assets/stations (reference ``models/multi_task_variational_gp.py``,
+    which ships without a training driver — provided here).
+
+    ``train_ys``: ``(T, n+1)`` prices.  Returns per-task predicted scales
+    ``(T, n)``.
+    """
+    from .likelihoods import VolatilityGaussianLikelihood
+    from .models.multitask import MultitaskVariationalGP
+
+    train_x = jnp.asarray(train_x)
+    train_ys = jnp.asarray(train_ys)
+    num_tasks = train_ys.shape[0]
+    yy = scaled_returns(train_x, train_ys).T  # (n, T)
+
+    lik = VolatilityGaussianLikelihood(param="exp")
+    module = MultitaskVariationalGP(num_tasks=num_tasks, rank=rank)
+    params = module.init(train_x, key=key)
+    params = module.initialize_variational_parameters(params, lik, {},
+                                                      train_x, yy)
+
+    @partial(jax.jit, static_argnames=())
+    def fit(p):
+        return _adam_scan(
+            lambda q: -module.elbo(q, train_x, yy, lik, {},
+                                   num_locs=num_locs),
+            p, train_iters, lr,
+        )
+
+    params, losses = fit(params)
+    mean = params["variational_mean"]          # (n, T)
+    var = module.marginal_variances(params)    # (n, T)
+    pred_scale = lik.expected_scale({}, mean, var).T  # (T, n)
+    if return_model:
+        return pred_scale, (module, params)
     return pred_scale
 
 
