@@ -1,0 +1,110 @@
+"""Coverage for secondary paths: FBM pipeline, sample/mean prediction,
+CSV price loading, calibration curves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu.data import sabr_paths
+
+
+N, H = 80, 5
+DT = 1.0 / 252
+
+
+@pytest.fixture(scope="module")
+def series():
+    f, _ = sabr_paths(steps=N + 1, seed=21)
+    train_x = jnp.arange(N, dtype=jnp.float32) * DT
+    test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
+    return train_x, jnp.asarray(f), test_x
+
+
+class TestFBMPipeline:
+    def test_fbm_end_to_end(self, series):
+        from volt_tpu.train import learn_gpcv, train_vol_model, \
+            train_volt_magpie
+        from volt_tpu.rollouts import rollouts
+
+        train_x, prices, test_x = series
+        vol = learn_gpcv(train_x, prices, train_iters=20, kernel="fbm")
+        assert bool(jnp.all(vol > 0))
+        vol_state = train_vol_model(train_x, vol, train_iters=20,
+                                    kernel="fbm")
+        model = train_volt_magpie(train_x, prices[1:], vol_state, vol,
+                                  train_iters=10, k=20)
+        s = rollouts(jax.random.key(0), model, train_x, prices, test_x,
+                     nsample=8)
+        assert s.shape == (8, H)
+        assert bool(jnp.all(jnp.isfinite(s)))
+
+
+class TestPredictionVariants:
+    @pytest.fixture(scope="class")
+    def model(self, series):
+        from volt_tpu.train import learn_gpcv, train_vol_model, \
+            train_data_model
+
+        train_x, prices, _ = series
+        vol = learn_gpcv(train_x, prices, train_iters=20)
+        vol_state = train_vol_model(train_x, vol, train_iters=20)
+        return train_data_model(train_x, prices[1:], vol_state, vol,
+                                train_iters=10)
+
+    def test_sample_prediction(self, model, series):
+        from volt_tpu.rollouts import sample_prediction
+
+        _, _, test_x = series
+        pred, vol = sample_prediction(jax.random.key(0), model, test_x,
+                                      n_sample=6, return_vol=True)
+        assert pred.shape == (6, H)
+        assert vol.shape == (H,)
+        assert bool(jnp.all(vol > 0))
+
+    def test_mean_prediction(self, model, series):
+        from volt_tpu.rollouts import mean_prediction
+
+        _, _, test_x = series
+        pred = mean_prediction(jax.random.key(0), model, test_x, n_sample=4)
+        assert pred.shape == (4, H)
+
+    def test_update_vol_path(self, model):
+        updated = model.update_vol_path(0.5 * jnp.exp(model.log_vol_path))
+        np.testing.assert_allclose(
+            np.asarray(updated.log_vol_path),
+            np.asarray(model.log_vol_path) + np.log(0.5),
+            rtol=1e-5,
+        )
+
+    def test_vol_mll(self, model):
+        assert np.isfinite(float(model.vol_mll()))
+
+
+class TestCsvLoading:
+    def test_load_prices_from_csv(self, tmp_path):
+        import pandas as pd
+        from volt_tpu.experiments.forecast_generator import load_prices
+
+        df = pd.DataFrame({
+            "Date": pd.date_range("2021-01-01", periods=50).astype(str),
+            "Close": np.linspace(90, 110, 50),
+        })
+        df.to_csv(tmp_path / "FOO.csv", index=False)
+        prices, dates = load_prices("FOO", 30, csv_dir=str(tmp_path))
+        assert prices.shape == (30,)
+        assert len(dates) == 30
+        assert prices[-1] == pytest.approx(110.0, rel=1e-5)
+
+
+class TestCalibrationCurve:
+    def test_multi_window_aggregation(self, rng):
+        from volt_tpu.calibration import calibration_curve
+
+        samples = [jnp.asarray(rng.standard_normal((500, 4)).astype(np.float32))
+                   for _ in range(5)]
+        truths = [jnp.asarray(rng.standard_normal(4).astype(np.float32))
+                  for _ in range(5)]
+        levels, frac = calibration_curve(samples, truths)
+        assert levels.shape == frac.shape
+        assert bool(jnp.all((frac >= 0) & (frac <= 1)))
