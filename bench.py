@@ -50,11 +50,16 @@ def main():
         return jax.device_get(samples)
 
     # warmup / compile (fetch forces completion)
+    t_warm = time.perf_counter()
     run(jax.random.key(0))
+    warm_elapsed = time.perf_counter() - t_warm
 
     # The TPU tunnel on this image adds multi-second jitter sporadically;
-    # take the best of a few repeats for a stable throughput figure.
+    # take the best of a few repeats for a stable throughput figure —
+    # but don't multiply the pain when the tunnel is badly degraded.
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    if warm_elapsed > 180.0:
+        repeats = 1
     elapsed = float("inf")
     out = None
     for r in range(repeats):

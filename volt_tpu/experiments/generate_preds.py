@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.pipeline import PipelineConfig, fit_forecast, fit_forecast_batch
+from ..parallel.pipeline import PipelineConfig, fit_forecast_batch
 from ..rollouts import generate_prediction, rollouts, sample_vol_paths
 from ..train import learn_gpcv, train_vol_model, train_volt_magpie
 from .basic_wind import make_basic_model

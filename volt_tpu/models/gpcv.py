@@ -44,6 +44,13 @@ class GPCVState:
 
 
 class GPCVModel(ConfigEq):
+    """Note on parameterizations: training supports both likelihoods, but
+    the Laplace initialization implements the ``"exp"`` Hessian (the only
+    one any reference pipeline uses; the reference's ``"cv"`` init branch
+    mixes shapes inconsistently — SURVEY.md §7 hard part 3).  With
+    ``param="cv"`` the running-std/exp-Hessian init is used as a heuristic
+    starting point."""
+
     def __init__(self, kernel: str = "bm", param: str = "exp",
                  num_locs: int = DEFAULT_NUM_LOCS):
         if kernel == "bm":
