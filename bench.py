@@ -21,6 +21,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeated bench invocations skip the
+# (tunnel-bound) compile entirely.
+jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from volt_tpu.data import sabr_paths
