@@ -275,3 +275,21 @@ class TestRolloutClosedForm:
                                jnp.float32(1.0))
         )
         np.testing.assert_allclose(samples, 5.0, atol=1e-3)
+
+
+class TestNotebookConfigRecovery:
+    """The reference tutorial's exact configuration (example.ipynb cells
+    2-8: 400-step SABR sim, seed 2019, GPCV 500 iters): the learned vol
+    path must track the true latent volatility closely."""
+
+    def test_gpcv_quality_at_reference_config(self):
+        f, v = sabr_paths(steps=400, seed=2019)
+        steps, t_max = 400, 1.0
+        dt = t_max / steps
+        train_x = jnp.linspace(0, t_max, steps - 1) + dt
+        vol = np.asarray(learn_gpcv(train_x, jnp.asarray(f),
+                                    train_iters=500))
+        rel_err = np.mean(np.abs(vol - v[1:]) / v[1:])
+        corr = np.corrcoef(vol, v[1:])[0, 1]
+        assert rel_err < 0.30, rel_err   # measured: ~0.195
+        assert corr > 0.80, corr         # measured: ~0.93
