@@ -69,7 +69,7 @@ def main(args):
             )
             if args.kernel.lower() == "volt":
                 generate_stock_predictions(
-                    tckr, prices, dates=None,
+                    tckr, prices, dates=dates,
                     forecast_horizon=args.forecast_horizon,
                     train_iters=args.train_iters, nsample=args.nsample,
                     mean=args.mean, ntrain=args.ntrain, save=args.save,
@@ -77,7 +77,7 @@ def main(args):
                 )
             else:
                 generate_basic_predictions(
-                    tckr, prices, args.kernel, dates=None,
+                    tckr, prices, args.kernel, dates=dates,
                     mean_name=args.mean, k=args.k,
                     forecast_horizon=args.forecast_horizon,
                     train_iters=args.train_iters, nsample=args.nsample,
