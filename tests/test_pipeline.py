@@ -293,3 +293,35 @@ class TestNotebookConfigRecovery:
         corr = np.corrcoef(vol, v[1:])[0, 1]
         assert rel_err < 0.30, rel_err   # measured: ~0.195
         assert corr > 0.80, corr         # measured: ~0.93
+
+
+class TestVoltPosterior:
+    def test_matches_dense_conditional(self, fitted, sde):
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import ConstantMean
+        from volt_tpu.rollouts import volt_posterior
+        from volt_tpu.kernels import VolatilityKernel
+        from volt_tpu.ops import conditional
+
+        _, _, test_x, _ = sde
+        _, _, model = fitted
+        module = VoltGP(mean=ConstantMean())
+        params = {"mean": {"constant": jnp.asarray([2.0])},
+                  "likelihood": model.params["likelihood"]}
+        det = module.fit_state(params, model.train_x, model.train_y,
+                               jnp.exp(model.log_vol_path), model.vol_state)
+        pred_vol = 0.2 * jnp.ones(HORIZON)
+
+        mean, cov = volt_posterior(det, test_x, pred_vol)
+
+        # dense oracle
+        kern = VolatilityKernel()
+        full_x = jnp.concatenate([det.train_x, test_x])
+        full_vol = jnp.concatenate([jnp.exp(det.log_vol_path), pred_vol])
+        k_full = kern({}, full_x, full_vol)
+        n = det.train_x.shape[-1]
+        resid = det.train_y - 2.0
+        cm, cc = conditional(k_full[:n, :n], k_full[:n, n:],
+                             k_full[n:, n:], resid, jitter=1e-4)
+        np.testing.assert_allclose(mean, cm + 2.0, atol=5e-4)
+        np.testing.assert_allclose(cov, cc, atol=5e-5)

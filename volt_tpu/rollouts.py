@@ -43,6 +43,7 @@ __all__ = [
     "generate_prediction",
     "sample_prediction",
     "mean_prediction",
+    "volt_posterior",
     "nonvol_rollouts",
     "rollouts_multitask",
     "generate_prediction_dense",
@@ -532,3 +533,35 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
     return jax.vmap(one, in_axes=(0, 0, 0, 0))(
         volt_state, latent, pred_vol, zs
     )
+
+
+def volt_posterior(model: VoltState, test_x, pred_vol, latent_mean=None,
+                   theta: float = 0.5):
+    """Closed-form conditional distribution over the horizon.
+
+    What :func:`generate_prediction` samples from, exposed as
+    ``(mean (..., H), cov (..., H, H))``: Markov conditional mean
+    ``m(test) + r_last`` and Brownian covariance
+    ``cov[s, t] = sum of integral increments up to min(s, t)`` (deterministic
+    means only, like the reference's one-shot path).
+    """
+    mean_mod = model.module.mean
+    if mean_mod.is_history_dependent:
+        raise ValueError("closed-form posterior requires a deterministic mean")
+    mean_params = model.params["mean"]
+    test_x = jnp.asarray(test_x)
+    pred_vol = jnp.asarray(pred_vol)
+
+    m_train_last = mean_mod(mean_params, model.train_x)[..., -1]
+    r_last = model.train_y[..., -1] - m_train_last
+    pred_mean = mean_mod(mean_params, test_x) + r_last
+    if latent_mean is not None:
+        pred_mean = pred_mean - theta * (pred_mean - latent_mean)
+
+    incs = _joint_integral_increments(model, test_x, pred_vol)
+    cum = jnp.cumsum(incs, axis=-1)
+    h = test_x.shape[-1]
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(h)[None, :]
+    cov = jnp.where(ii <= jj, cum[..., :, None], cum[..., None, :])
+    return pred_mean, cov
