@@ -68,3 +68,60 @@ class TestTridiagProperties:
             f0 = float(-brownian_noise_mll_kalman(v, jnp.float32(s2 - eps), r))
             fd = (f1 - f0) / (2 * eps)
             assert float(g) == pytest.approx(fd, rel=0.05, abs=1e-3), s2
+
+
+class TestTridiagAssociativeAPI:
+    """The associative-scan LDL/solve (exported API; the training default
+    is the Kalman form).  Accuracy envelope: well-conditioned SPD
+    tridiagonals and realistic Volt magnitudes."""
+
+    def test_ldl_pivots_and_logdet(self, rng):
+        from volt_tpu.ops.tridiag import tridiag_ldl_pivots
+
+        n = 60
+        diag = jnp.asarray((2.0 + rng.random(n)).astype(np.float32))
+        off = jnp.asarray((0.5 * rng.random(n - 1) - 0.25).astype(np.float32))
+        d, ld = tridiag_ldl_pivots(diag, off)
+        t = (np.diag(np.asarray(diag)) + np.diag(np.asarray(off), 1)
+             + np.diag(np.asarray(off), -1)).astype(np.float64)
+        assert float(ld) == pytest.approx(np.linalg.slogdet(t)[1], rel=1e-4)
+        # pivots reproduce the sequential LDL recurrence
+        d_seq = [float(diag[0])]
+        for i in range(1, n):
+            d_seq.append(float(diag[i]) - float(off[i - 1]) ** 2 / d_seq[-1])
+        np.testing.assert_allclose(np.asarray(d), d_seq, rtol=1e-4)
+
+    def test_solve(self, rng):
+        from volt_tpu.ops.tridiag import tridiag_ldl_pivots, tridiag_solve
+
+        n = 50
+        diag = jnp.asarray((2.0 + rng.random(n)).astype(np.float32))
+        off = jnp.asarray((0.4 * rng.random(n - 1)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        d, _ = tridiag_ldl_pivots(diag, off)
+        x = tridiag_solve(d, off, b)
+        t = (np.diag(np.asarray(diag)) + np.diag(np.asarray(off), 1)
+             + np.diag(np.asarray(off), -1)).astype(np.float64)
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(t, np.asarray(b)),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_brownian_mll_realistic_regime(self, rng):
+        from volt_tpu.ops.tridiag import brownian_noise_mll
+
+        n = 80
+        dx = 1.0 / 252
+        vols = 0.1 + 0.3 * rng.random(n)
+        w = np.full(n, dx); w[0] *= 0.5; w[-1] *= 0.5
+        v = np.cumsum(w * vols**2)
+        r = 0.05 * rng.standard_normal(n)
+        k = v[np.minimum(np.arange(n)[:, None], np.arange(n)[None, :])]
+        for s2 in [1e-3, 0.1, 1.0]:
+            dense = scipy.stats.multivariate_normal.logpdf(
+                r, np.zeros(n), k + s2 * np.eye(n)
+            ) / n
+            fast = float(brownian_noise_mll(
+                jnp.asarray(v, jnp.float32), jnp.float32(s2),
+                jnp.asarray(r, jnp.float32),
+            ))
+            assert fast == pytest.approx(dense, rel=1e-4), s2
