@@ -32,8 +32,8 @@ def main():
     from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
 
     n_assets = int(os.environ.get("BENCH_ASSETS", "64"))
-    ntrain = 400
-    horizon = 100
+    ntrain = int(os.environ.get("BENCH_NTRAIN", "400"))
+    horizon = int(os.environ.get("BENCH_HORIZON", "100"))
     cfg = PipelineConfig(
         gpcv_iters=300, vol_iters=300, data_iters=300,
         mean_func="ewma", k=100, nsample=1000,
