@@ -80,7 +80,8 @@ def main():
     print(json.dumps({
         "metric": "volt_fit_plus_1000path_rollout_throughput",
         "value": round(assets_per_sec, 4),
-        "unit": "assets/sec/chip (ntrain=400, 3x300 iters, 1000x100 MC)",
+        "unit": (f"assets/sec/chip (ntrain={ntrain}, 3x300 iters, "
+                 f"{cfg.nsample}x{horizon} MC)"),
         "vs_baseline": round(assets_per_sec / north_star, 4),
     }))
 
