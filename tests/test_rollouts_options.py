@@ -106,3 +106,60 @@ class TestOptions:
         # call value decreases with strike within the same expiry
         assert df.iloc[0].Voltron > df.iloc[1].Voltron
         assert 0.0 <= df.iloc[0].Sample_Percentile <= 1.0
+
+
+class TestOptionPricesVsBlackScholes:
+    """Under a constant vol path and constant mean, rollout dynamics are an
+    exact driftless lognormal walk with per-step log-variance
+    (dx/2) * vol^2 (the reference's CumTrapz endpoint rule halves each
+    step's increment — a faithful parity artifact).  MC call values must
+    therefore match the Black-76 closed form computed from the walk's
+    forward and total variance."""
+
+    def test_mc_matches_closed_form(self):
+        import scipy.stats as st
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.models.bmgp import BMGP
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import ConstantMean
+        from volt_tpu.options import price_call_grid
+        from volt_tpu.rollouts import _rollout_volt_scan
+
+        n, h, nsample = 100, 20, 60_000
+        dt = 1.0 / 252
+        vol = 0.4
+        train_x = jnp.arange(n, dtype=jnp.float32) * dt
+        test_x = jnp.arange(h, dtype=jnp.float32) * dt + train_x[-1] + dt
+        s0 = 100.0
+        log_y = jnp.full((n,), np.log(s0), jnp.float32)
+
+        bm = BMGP()
+        vol_state = bm.fit_state(bm.init(), train_x,
+                                 jnp.log(vol * jnp.ones(n)))
+        volt = VoltGP(mean=ConstantMean())
+        params = {"mean": {"constant": jnp.asarray([np.log(s0)])},
+                  "likelihood": volt.likelihood.init()}
+        model = volt.fit_state(params, train_x, log_y,
+                               vol * jnp.ones(n), vol_state)
+
+        pred_vol = vol * jnp.ones((nsample, h))
+        zs = jax.random.normal(jax.random.key(0), (nsample, h))
+        log_paths = _rollout_volt_scan(model, jnp.float32(0), test_x,
+                                       pred_vol, zs, False, jnp.float32(0))
+        px = jnp.exp(log_paths)  # (S, H)
+
+        strikes = jnp.asarray([80.0, 100.0, 120.0], jnp.float32)
+        mc = np.asarray(price_call_grid(px, strikes))  # (K, H)
+
+        for t_idx in [4, 19]:
+            total_var = (t_idx + 1) * 0.5 * dt * vol**2
+            fwd = s0 * np.exp(0.5 * total_var)  # E[exp(N(log s0, V))]
+            sv = np.sqrt(total_var)
+            for k_idx, k in enumerate([80.0, 100.0, 120.0]):
+                d1 = (np.log(fwd / k) + 0.5 * total_var) / sv
+                d2 = d1 - sv
+                bs = fwd * st.norm.cdf(d1) - k * st.norm.cdf(d2)
+                got = mc[k_idx, t_idx]
+                assert got == pytest.approx(bs, rel=0.05, abs=0.05), (
+                    t_idx, k, got, bs
+                )
