@@ -46,13 +46,26 @@ def main():
     test_x = jnp.arange(horizon, dtype=jnp.float32) * dt + train_x[-1] + dt
     train_ys = jnp.asarray(f)
 
+    # BENCH_STREAMS > 1 splits the batch into independently-dispatched
+    # chunks so chunk i+1 computes while chunk i's samples stream to the
+    # host (dispatch is async; the fetch is the only sync point).
+    streams = max(int(os.environ.get("BENCH_STREAMS", "1")), 1)
+    chunk = n_assets // streams
+    ys_chunks = [train_ys[i * chunk:(i + 1) * chunk] for i in range(streams)]
+
     def run(key):
-        samples, aux = fit_forecast_batch(key, train_x, train_ys, test_x, cfg)
+        keys = jax.random.split(key, streams)
         # On this image's TPU tunnel, block_until_ready does not actually
         # synchronize; a host fetch is the only reliable barrier, and its
         # transfer cost (nsample x horizon floats) is part of delivering
         # the forecast anyway.
-        return jax.device_get(samples)
+        pending = [
+            fit_forecast_batch(k, train_x, ys, test_x, cfg)[0]
+            for k, ys in zip(keys, ys_chunks)
+        ]
+        import numpy as np
+
+        return np.concatenate([jax.device_get(s) for s in pending], axis=0)
 
     # warmup / compile (fetch forces completion)
     t_warm = time.perf_counter()
