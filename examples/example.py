@@ -67,6 +67,47 @@ def main(args):
     print("\nforecast fan (10/50/90% quantiles at horizon end):",
           [round(float(x), 2) for x in q[:, -1]])
 
+    if args.figure:
+        make_figure(train_x, f, v_true, np.asarray(vol), test_x, vol_paths,
+                    px_paths)
+
+
+
+
+def make_figure(train_x, prices, v_true, vol, test_x, vol_paths, px_paths,
+                out_path="examples/example_output.png"):
+    """The tutorial's 3-panel figure (example.ipynb cell 17): data+vol,
+    learned vs true vol with forecasts, price forecasts."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(3, 1, figsize=(8, 10), dpi=100)
+    plt.subplots_adjust(hspace=0.3)
+
+    ax[0].plot(train_x, prices[1:], label="Data", alpha=0.8)
+    ax0b = ax[0].twinx()
+    ax0b.plot(train_x, v_true[1:], color="tab:orange", label="Volatility")
+    ax[0].set_ylabel("Price")
+    ax0b.set_ylabel("Vol")
+    ax[0].set_title("data and true volatility")
+
+    ax[1].plot(train_x, v_true[1:], color="tab:orange", alpha=0.75,
+               label="True Vol.")
+    ax[1].plot(train_x, vol, color="tab:purple", label="Learned Vol.")
+    ax[1].plot(test_x, np.asarray(vol_paths).T, color="tab:red", alpha=0.4)
+    ax[1].set_ylabel("Vol")
+    ax[1].legend(loc="upper left")
+    ax[1].set_title("GPCV volatility recovery + forecasts")
+
+    ax[2].plot(train_x, prices[1:], alpha=0.8, label="Data")
+    ax[2].plot(test_x, np.asarray(px_paths).T, color="tab:green", alpha=0.6)
+    ax[2].set_ylabel("Price")
+    ax[2].set_xlabel("t")
+    ax[2].set_title("Monte-Carlo price forecasts")
+    fig.savefig(out_path, bbox_inches="tight")
+    print("figure saved to", out_path)
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
@@ -74,4 +115,5 @@ if __name__ == "__main__":
     p.add_argument("--gpcv_iters", type=int, default=500)
     p.add_argument("--vol_iters", type=int, default=500)
     p.add_argument("--data_iters", type=int, default=400)
+    p.add_argument("--figure", action="store_true")
     main(p.parse_args())
