@@ -108,3 +108,24 @@ class TestCalibrationCurve:
         levels, frac = calibration_curve(samples, truths)
         assert levels.shape == frac.shape
         assert bool(jnp.all((frac >= 0) & (frac <= 1)))
+
+
+class TestCvParameterization:
+    def test_cv_gpcv_trains(self, series):
+        # The copula-process ("cv") likelihood: its a/b/c parameters ride
+        # in the same ELBO and train alongside the variational state.
+        from volt_tpu.models.gpcv import GPCVModel
+        from volt_tpu.train import scaled_returns, _fit_gpcv
+
+        train_x, prices, _ = series
+        yy = scaled_returns(train_x, prices)
+        module = GPCVModel(param="cv")
+        params = module.init(train_x, yy, key=jax.random.key(0))
+        params2, losses = _fit_gpcv(module, params, train_x, yy, 40, 0.01)
+        assert float(losses[-1]) < float(losses[0])
+        # likelihood params actually moved
+        moved = jnp.max(jnp.abs(params2["likelihood"]["raw_a"]
+                                - params["likelihood"]["raw_a"]))
+        assert float(moved) > 0
+        scale = module.predicted_scale(params2, train_x)
+        assert bool(jnp.all(scale > 0))
