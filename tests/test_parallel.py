@@ -87,3 +87,21 @@ class TestOptionPricingAtScale:
         pct = np.asarray(out["percentiles"])
         assert pct.shape == (8, 2)
         assert ((pct >= 0) & (pct <= 1)).all()
+
+
+class TestDeterminism:
+    def test_same_key_same_forecasts(self, batch_data):
+        train_x, ys, test_x = batch_data
+        s1, _ = fit_forecast_batch(jax.random.key(7), train_x, ys, test_x,
+                                   CFG)
+        s2, _ = fit_forecast_batch(jax.random.key(7), train_x, ys, test_x,
+                                   CFG)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_different_keys_differ(self, batch_data):
+        train_x, ys, test_x = batch_data
+        s1, _ = fit_forecast_batch(jax.random.key(1), train_x, ys, test_x,
+                                   CFG)
+        s2, _ = fit_forecast_batch(jax.random.key(2), train_x, ys, test_x,
+                                   CFG)
+        assert float(np.abs(np.asarray(s1) - np.asarray(s2)).max()) > 1e-4
