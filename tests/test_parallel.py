@@ -89,6 +89,55 @@ class TestOptionPricingAtScale:
         assert ((pct >= 0) & (pct <= 1)).all()
 
 
+class TestMultihostInitialize:
+    """Contract of the DCN bring-up helper (``parallel/mesh.py``)."""
+
+    def test_single_process_is_noop(self, monkeypatch):
+        from volt_tpu.parallel import mesh as mesh_mod
+
+        for v in mesh_mod._CLUSTER_ENV_VARS:
+            monkeypatch.delenv(v, raising=False)
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **k: called.append((a, k)),
+        )
+        assert mesh_mod.multihost_initialize() is False
+        assert called == []  # never touches the runtime single-process
+
+    def test_explicit_coordinator_initializes(self, monkeypatch):
+        from volt_tpu.parallel import mesh as mesh_mod
+
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **k: calls.append(k),
+        )
+        monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+        assert mesh_mod.multihost_initialize(
+            coordinator_address="10.0.0.1:1234", num_processes=2,
+            process_id=0,
+        ) is True
+        assert calls[0]["coordinator_address"] == "10.0.0.1:1234"
+        # idempotent: second call is a no-op
+        assert mesh_mod.multihost_initialize(
+            coordinator_address="10.0.0.1:1234") is False
+        assert len(calls) == 1
+
+    def test_cluster_env_triggers_and_errors_propagate(self, monkeypatch):
+        from volt_tpu.parallel import mesh as mesh_mod
+
+        monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+
+        def boom(**k):
+            raise RuntimeError("cluster misconfigured")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="misconfigured"):
+            mesh_mod.multihost_initialize()
+
+
 class TestDeterminism:
     def test_same_key_same_forecasts(self, batch_data):
         train_x, ys, test_x = batch_data

@@ -9,6 +9,8 @@ during rollouts.  On a pod slice both axes ride ICI; across slices
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -34,15 +36,52 @@ def make_mesh(axis_sizes=None, axis_names=("asset", "path"), devices=None):
     return Mesh(dev_array, axis_names)
 
 
-def multihost_initialize(**kwargs):
-    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
+_DISTRIBUTED_INITIALIZED = False
 
-    A no-op when running single-process (the common case on one slice).
+# Environment variables under which ``jax.distributed.initialize()`` can
+# auto-detect a multi-process cluster (JAX's own coordination bootstrap plus
+# the managed-cluster launchers it recognizes).
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",     # explicit JAX coordination service
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU (DCN) launcher
+    "SLURM_JOB_ID",                # SLURM cluster
+    "OMPI_MCA_orte_hnp_uri",       # OpenMPI
+)
+
+
+def multihost_initialize(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None,
+                         **kwargs) -> bool:
+    """Multi-host bring-up over DCN (``jax.distributed.initialize``).
+
+    Contract (unit-tested in ``tests/test_parallel.py``):
+
+    * **single-process** — no explicit arguments and no recognized cluster
+      environment: returns ``False`` without touching the JAX runtime (the
+      common one-slice case; collectives inside the slice ride ICI and need
+      no process coordination);
+    * **multi-process** — explicit ``coordinator_address`` (or a launcher
+      environment JAX can auto-detect): calls
+      ``jax.distributed.initialize`` and returns ``True``.  Errors
+      propagate — a misconfigured cluster must fail loudly, not fall back
+      to a silent single-process run;
+    * idempotent — once initialization succeeded, later calls return
+      ``False`` and do nothing.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run without coordinator env — fine.
-        pass
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return False
+    explicit = coordinator_address is not None or kwargs
+    detected = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    if not explicit and not detected:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+    return True

@@ -68,9 +68,6 @@ def restore_volt_state(path: str, volt_module, vol_module=None):
     """Rebuild a :class:`VoltState` from a checkpoint + module configs."""
     from ..models.volt import VoltState
 
-    # build a template from the modules for orbax's structure matching
-    import orbax.checkpoint as ocp
-
     restored = _checkpointer().restore(os.path.abspath(path))
     vol_state = None
     if vol_module is not None and "vol_params" in restored:
