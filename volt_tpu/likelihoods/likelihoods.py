@@ -127,16 +127,22 @@ class VolatilityGaussianLikelihood(ConfigEq):
         return self.c_constraint.forward(params["raw_c"])
 
     def scale(self, params, f):
-        """Observation scale (std) as a function of the latent ``f``."""
+        """Observation scale (std) as a function of the latent ``f``.
+
+        Overflow guards (both invisible below float32 overflow): the cv
+        form uses the softplus identity for ``log(1 + exp(.))``, and the
+        exp form caps ``f`` at 80 — Gauss–Hermite tail nodes of a
+        wide-variance ``q`` otherwise push ``exp(f)`` to ``inf`` and the
+        weighted quadrature sum to NaN (observed at n=1000 with the
+        reference's x10-inflated Laplace init).
+        """
         if self.param == "cv":
-            t = jnp.log1p(
-                jnp.exp(
-                    self.trans_b(params) * f[..., None] + self.trans_c(params)
-                )
+            t = jax.nn.softplus(
+                self.trans_b(params) * f[..., None] + self.trans_c(params)
             ) * self.trans_a(params)
             s = jnp.sum(t, axis=-1)
         else:
-            s = jnp.exp(f)
+            s = jnp.exp(jnp.clip(f, max=80.0))
         return jnp.clip(s, min=1e-3)
 
     def log_prob(self, params, y, f):

@@ -18,11 +18,19 @@ from ..gp.variational import (
     VariationalState,
     elbo_at_inducing,
     laplace_initialize,
+    running_std_latent_init,
     variational_predict,
 )
 from ..kernels import BMKernel, FBMKernel
 from ..likelihoods import VolatilityGaussianLikelihood
 from ..means import ConstantMean
+from ..ops.bidiag import (
+    bidiag_chol_from_tridiag,
+    bidiag_solve_lower,
+    min_precision,
+    takahashi_band,
+    tridiag_q_kl_bm_prior,
+)
 from ..ops.brownian import bm_kl_against_prior
 from ..ops.quadrature import DEFAULT_NUM_LOCS
 from ..utils.static import ConfigEq
@@ -49,23 +57,50 @@ class GPCVModel(ConfigEq):
     one any reference pipeline uses; the reference's ``"cv"`` init branch
     mixes shapes inconsistently — SURVEY.md §7 hard part 3).  With
     ``param="cv"`` the running-std/exp-Hessian init is used as a heuristic
-    starting point."""
+    starting point.
+
+    ``q`` selects the variational family:
+
+    * ``"full"`` — the reference's dense ``n x n`` Cholesky covariance
+      (``single_task_variational_gp.py:66-122``), O(n^2) parameters;
+    * ``"tridiag"`` — tridiagonal-*precision* q (bidiagonal Cholesky,
+      O(n) parameters, O(n) ELBO — :mod:`volt_tpu.ops.bidiag`).  For the
+      BM prior and a factorized likelihood the optimal Gaussian posterior
+      has tridiagonal precision, so this family contains the full-rank
+      optimum; it exists purely to kill the n^2 Adam traffic that
+      dominates the fit at n ~ 1000 (PERFORMANCE.md).
+    """
 
     def __init__(self, kernel: str = "bm", param: str = "exp",
-                 num_locs: int = DEFAULT_NUM_LOCS):
+                 num_locs: int = DEFAULT_NUM_LOCS, q: str = "full"):
         if kernel == "bm":
             self.kernel = BMKernel()
         elif kernel == "fbm":
             self.kernel = FBMKernel()
         else:
             raise ValueError("kernel must be 'bm' or 'fbm'")
+        if q not in ("full", "tridiag"):
+            raise ValueError("q must be 'full' or 'tridiag'")
+        if q == "tridiag" and kernel != "bm":
+            # the tridiagonal-precision family relies on the BM prior's
+            # Markov property; FBM is not Markov.
+            raise ValueError("q='tridiag' requires the BM kernel")
+        self.q = q
         self.mean = ConstantMean()
         self.likelihood = VolatilityGaussianLikelihood(param=param)
         self.num_locs = num_locs
 
     def init(self, train_x, y, key=None, dtype=jnp.float32):
-        """Laplace-style init (reference ``train_utils.py:31``)."""
+        """Laplace-style init (reference ``train_utils.py:31``).
+
+        For ``q='tridiag'`` the same Laplace covariance is exactly
+        representable: ``S = (K^{-1} + diag(inv_hess))^{-1}`` has
+        tridiagonal precision for the BM prior (no x10 root inflation —
+        see ``_init_tridiag``).
+        """
         kernel_params = self.kernel.init(dtype)
+        if self.q == "tridiag":
+            return self._init_tridiag(kernel_params, train_x, y, key, dtype)
         kuu = self.kernel(kernel_params, train_x)
         var_state, mean_const = laplace_initialize(kuu, y)
         return {
@@ -75,6 +110,41 @@ class GPCVModel(ConfigEq):
             "variational_mean": var_state.variational_mean,
             "chol_variational_covar": var_state.chol_variational_covar,
         }
+
+    # --- tridiagonal-precision q (TPU-native; see ops/bidiag.py) -----------
+
+    _KL_JITTER = 1e-6
+
+    def _init_tridiag(self, kernel_params, train_x, y, key, dtype):
+        f, rs = running_std_latent_init(y)
+        mean_const = jnp.log(jnp.mean(rs, axis=-1))
+        inv_hess = jnp.clip(
+            0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
+        )
+        vol = self.kernel.vol(kernel_params)[..., 0]
+        a_diag, a_off, _ = min_precision(train_x, self._KL_JITTER / vol)
+        # plain Laplace precision K^{-1} + diag(inv_hess) — deliberately
+        # WITHOUT the reference's x10 root inflation
+        # (single_task_variational_gp.py:251): starting at the Laplace
+        # covariance itself converges markedly faster in this
+        # parameterization (measured: ELBO -0.333 by iter 100 vs the
+        # inflated init still at +1.2 at iter 300 on the n=60 probe;
+        # same precedent as init_sparse below).
+        q_diag = a_diag / vol + inv_hess
+        q_off = a_off / vol
+        d, e = bidiag_chol_from_tridiag(q_diag, q_off)
+        return {
+            "kernel": kernel_params,
+            "mean": {"constant": mean_const[..., None]},
+            "likelihood": self.likelihood.init(dtype, key=key),
+            "variational_mean": f,
+            "q_log_d": jnp.log(d),
+            "q_e": e,
+        }
+
+    def _q_chol(self, params):
+        """Bidiagonal precision-Cholesky ``(d, e)`` of the tridiag q."""
+        return jnp.exp(params["q_log_d"]), params["q_e"]
 
     def _var_state(self, params):
         return VariationalState(
@@ -98,6 +168,18 @@ class GPCVModel(ConfigEq):
                 params["likelihood"], yy, mean, var, num_locs=self.num_locs
             )
 
+        if self.q == "tridiag":
+            # O(n) ELBO: Takahashi marginals + closed-form tridiagonal KL.
+            n = y.shape[-1]
+            d, e = self._q_chol(params)
+            m = params["variational_mean"]
+            marg_var, _ = takahashi_band(d, e)
+            ell_vals = ell(y, m, marg_var)
+            kl = tridiag_q_kl_bm_prior(
+                train_x, self.kernel.vol(params["kernel"]), m, d, e,
+                prior_mean, jitter=self._KL_JITTER,
+            )
+            return jnp.mean(ell_vals, axis=-1) - kl / n
         state = self._var_state(params)
         if isinstance(self.kernel, BMKernel):
             n = y.shape[-1]
@@ -186,6 +268,12 @@ class GPCVModel(ConfigEq):
         At the training inputs this is ``q`` itself (the unwhitened
         strategy's short-circuit); at new points the unwhitened predictive.
         """
+        if self.q == "tridiag":
+            d, e = self._q_chol(params)
+            m = params["variational_mean"]
+            if test_x is None:
+                return m, takahashi_band(d, e)[0]
+            return self._predict_tridiag(params, d, e, m, train_x, test_x)
         state = self._var_state(params)
         if test_x is None:
             chol_q = jnp.tril(state.chol_variational_covar)
@@ -197,6 +285,37 @@ class GPCVModel(ConfigEq):
         prior_x = self.mean(params["mean"], test_x)
         return variational_predict(state, prior_u, kuu, kux, prior_x,
                                    kxx_diag=kxx_diag)
+
+    def _predict_tridiag(self, params, d, e, m, train_x, test_x):
+        """Unwhitened predictive marginals with the tridiag q.
+
+        Same algebra as :func:`volt_tpu.gp.variational.variational_predict`
+        with ``S Kuu^{-1} Kux`` routed through the precision root:
+        ``S B = L^{-T} (L^{-1} B)``, two bidiagonal solves per column.
+        """
+        from ..ops.chol import cholesky_solve, psd_safe_cholesky
+
+        kuu = self.kernel(params["kernel"], train_x)
+        kux = self.kernel(params["kernel"], train_x, test_x)
+        kxx_diag = self.kernel(params["kernel"], test_x, diag=True)
+        prior_u = self.mean(params["mean"], train_x)
+        prior_x = self.mean(params["mean"], test_x)
+        chol = psd_safe_cholesky(kuu)
+        kuu_inv_kux = cholesky_solve(chol, kux)  # (..., n_u, n_x)
+        diff = (m - prior_u)[..., None]
+        mean = (
+            jnp.swapaxes(kuu_inv_kux, -1, -2) @ diff
+        )[..., 0] + prior_x
+        data_term = jnp.sum(kux * kuu_inv_kux, axis=-2)
+        # ||L^{-1} b_j||^2 per column j gives diag(B^T S B).
+        bt = jnp.swapaxes(kuu_inv_kux, -1, -2)  # (..., n_x, n_u)
+        d_b = jnp.broadcast_to(d[..., None, :], bt.shape)
+        e_b = jnp.broadcast_to(
+            e[..., None, :], (*bt.shape[:-1], bt.shape[-1] - 1)
+        )
+        half = bidiag_solve_lower(d_b, e_b, bt)
+        s_term = jnp.sum(half * half, axis=-1)
+        return mean, kxx_diag - data_term + s_term
 
     def predicted_scale(self, params, train_x, test_x=None, mc_samples=None,
                         key=None):

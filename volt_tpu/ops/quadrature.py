@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,4 +52,7 @@ def expected_value(fn, mean, var, num_locs: int = DEFAULT_NUM_LOCS):
     shape = (num_locs,) + (1,) * mean.ndim
     shifted = jnp.sqrt(2.0 * var) * locs.reshape(shape) + mean
     vals = fn(shifted)
-    return jnp.tensordot(weights, vals, axes=(0, 0))
+    # HIGHEST: on TPU the default bf16 contraction loses ~2 decimal digits
+    # of the ELBO (and its gradients) — the node weights span 1e-20..1e0.
+    return jnp.tensordot(weights, vals, axes=(0, 0),
+                         precision=jax.lax.Precision.HIGHEST)

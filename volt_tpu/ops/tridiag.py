@@ -73,7 +73,10 @@ def tridiag_ldl_pivots(diag, off):
     def combine(x, y):
         mx, sx = x
         my, sy = y
-        prod = jnp.matmul(my, mx)
+        # HIGHEST: TPU's default bf16 matmul destroys the minor recurrence
+        # when the tridiagonal entries span orders of magnitude (the
+        # tridiag-q init spans 1e3..1e6 at the jitter-floored first point).
+        prod = jnp.matmul(my, mx, precision=jax.lax.Precision.HIGHEST)
         ps = jnp.maximum(jnp.max(jnp.abs(prod), axis=(-2, -1)), 1e-30)
         return prod / ps[..., None, None], sx + sy + jnp.log(ps)
 

@@ -51,6 +51,10 @@ class PipelineConfig:
     vol_lr: float = 0.01
     data_lr: float = 0.1
     num_locs: int = 75
+    # variational family for the GPCV stage: "tridiag" (O(n) params/step,
+    # contains the full-rank optimum for the BM prior) or "full" (the
+    # reference's dense n x n Cholesky).  See models/gpcv.py.
+    gpcv_q: str = "tridiag"
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -65,7 +69,8 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
 
     # ---- stage 1: GPCV ----------------------------------------------------
     yy = scaled_returns(train_x, train_y)
-    gpcv = GPCVModel(kernel=config.kernel, num_locs=config.num_locs)
+    gpcv = GPCVModel(kernel=config.kernel, num_locs=config.num_locs,
+                     q=config.gpcv_q)
     gpcv_params = gpcv.init(train_x, yy, key=k_lik)
     gpcv_params, gpcv_losses = _adam_scan(
         lambda p: -gpcv.elbo(p, train_x, yy),

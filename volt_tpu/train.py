@@ -117,14 +117,19 @@ def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
 
 def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False,
                kernel: str = "bm", lr: float = 0.01, return_model: bool = False,
-               key=None, mc_scale_samples=None):
+               key=None, mc_scale_samples=None, q: str = "full"):
     """Infer the volatility path from prices.  Returns ``pred_scale``
     (and the fitted :class:`GPCVState` when ``return_model=True`` — the
     reference's ``return_model`` call site was broken; fixed by design,
-    SURVEY.md preamble)."""
+    SURVEY.md preamble).
+
+    ``q="full"`` keeps the reference's dense variational covariance;
+    ``q="tridiag"`` selects the O(n) tridiagonal-precision family (the
+    batched pipeline's default — see ``models/gpcv.py``).
+    """
     train_x = jnp.asarray(train_x)
     yy = scaled_returns(train_x, train_y)
-    module = GPCVModel(kernel=kernel)
+    module = GPCVModel(kernel=kernel, q=q)
     params = module.init(train_x, yy, key=key)
     params, losses = _fit_gpcv(module, params, train_x, yy, train_iters, lr)
     if printing:
