@@ -1,14 +1,15 @@
 """Benchmark: fit + 1000-path rollout throughput, assets/sec on one chip.
 
-Workload per asset (the reference stock backtest shape,
-``ForecastGenerator.py:53-101`` / BASELINE.md): ntrain=400 prices (399-point
-return grid), 300 GPCV ELBO iters, 300 vol-GP MLL iters, 300 Volt MLL
-iters, then a 1000-path x 100-step autoregressive Monte-Carlo rollout with
-an EWMA mean.
+Workload per asset: ntrain prices (ntrain-1-point return grid), 300 GPCV
+ELBO iters, 300 vol-GP MLL iters, 300 Volt MLL iters, then a 1000-path x
+100-step autoregressive Monte-Carlo rollout with an EWMA mean.
 
-North star (BASELINE.json): fit + 1000-path rollout for 500 tickers in
-<60 s on a v5p-8 => 500/60/8 ~= 1.042 assets/sec/chip.  ``vs_baseline`` is
-measured assets/sec/chip divided by that rate.
+The default shape IS the north-star shape (BASELINE.json): n~1000-point
+series, 64 assets (~ one chip's share of 500 tickers over 8 chips); the
+target rate is 500 tickers / 60 s / 8 chips ~= 1.042 assets/sec/chip and
+``vs_baseline`` is measured assets/sec/chip divided by it.  Set
+``BENCH_NTRAIN=400`` for the reference stock-backtest shape
+(``ForecastGenerator.py:53-101`` / BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,7 +33,7 @@ def main():
     from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
 
     n_assets = int(os.environ.get("BENCH_ASSETS", "64"))
-    ntrain = int(os.environ.get("BENCH_NTRAIN", "400"))
+    ntrain = int(os.environ.get("BENCH_NTRAIN", "1000"))
     horizon = int(os.environ.get("BENCH_HORIZON", "100"))
     cfg = PipelineConfig(
         gpcv_iters=300, vol_iters=300, data_iters=300,
