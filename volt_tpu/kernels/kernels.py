@@ -17,7 +17,6 @@ Conventions:
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -189,13 +188,16 @@ class VolatilityKernel(ConfigEq):
         if diag:
             return vol_integral(x, vol_path)
         if (
-            os.environ.get("VOLT_TPU_USE_PALLAS") == "1"
+            jax.default_backend() == "tpu"
             and x.ndim == 1
             and vol_path.ndim in (1, 2)
         ):
-            from ..ops.pallas import volt_covariance
+            # TPU default: the fused Pallas tile build (bit-identical to
+            # the XLA twin, measured faster — PERFORMANCE.md), with
+            # gradients through the XLA transpose.
+            from ..ops.pallas import volt_covariance_grad
 
-            return volt_covariance(x, vol_path)
+            return volt_covariance_grad(x, vol_path)
         return min_index_covariance(vol_integral(x, vol_path))
 
     @staticmethod

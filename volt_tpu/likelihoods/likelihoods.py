@@ -152,7 +152,18 @@ class VolatilityGaussianLikelihood(ConfigEq):
 
     def expected_log_prob(self, params, y, mean, var,
                           num_locs: int = DEFAULT_NUM_LOCS):
-        """``E_{f ~ N(mean, var)}[log p(y | f)]`` by GH quadrature."""
+        """``E_{f ~ N(mean, var)}[log p(y | f)]`` by GH quadrature.
+
+        Deliberately the XLA quadrature, NOT the Pallas kernel
+        (``ops/pallas/gh_ell.py``, which has fused forward+backward node
+        loops and matches this path bit-for-bit): measured on-chip at the
+        flagship shape (n=1000, B=64, tridiag GPCV) the pipeline runs
+        50.8/34.8 assets/sec/chip with the Pallas dispatch vs 56.7/42.3
+        without, across two paired trials — under the per-asset ``vmap``
+        the kernel receives ``(1, 512)`` blocks (1/8 sublane utilization)
+        and Mosaic compiles ~4x slower.  Revert-with-data per the round-1
+        review; details in PERFORMANCE.md.
+        """
         return expected_value(
             lambda f: self.log_prob(params, y, f), mean, var, num_locs
         )

@@ -22,8 +22,9 @@ Two TPU-native forms are provided:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -60,13 +61,8 @@ def _pad_left(y, k: int):
     return jnp.concatenate([pad, y], axis=-1)
 
 
-def ewma(y, k: int):
-    """Truncated EWMA filter.  ``(..., T) -> (..., T + 1)``.
-
-    Matches the reference ``EWMA(y, k)`` exactly: output ``j`` is the
-    weighted mean of ``padded[j : j + k]``, i.e. the window ending at
-    ``y[j - 1]``.
-    """
+def _ewma_conv(y, k: int):
+    """The XLA depthwise-convolution filter (reference semantics)."""
     y = jnp.asarray(y)
     w = ewma_weights(k, y.dtype)
     padded = _pad_left(y, k)
@@ -83,6 +79,46 @@ def ewma(y, k: int):
         precision=lax.Precision.HIGHEST,
     )
     return out.reshape((*batch_shape, y.shape[-1] + 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ewma_mxu(y, k: int):
+    from .pallas import ewma_pallas
+
+    # interpret=None: compiled on TPU (the only production dispatcher),
+    # interpreter elsewhere (tests).
+    return ewma_pallas(y, k, interpret=None)
+
+
+def _ewma_mxu_fwd(y, k):
+    return _ewma_mxu(y, k), y
+
+
+def _ewma_mxu_bwd(k, y, g):
+    # the filter is linear in y: reuse the conv path's transpose.
+    return (jax.vjp(lambda yy: _ewma_conv(yy, k), y)[1](g)[0],)
+
+
+_ewma_mxu.defvjp(_ewma_mxu_fwd, _ewma_mxu_bwd)
+
+# Pallas pays off once the tap count amortizes its banded-matmul setup:
+# measured on-chip at (64, 999): k=400 0.93 ms vs 1.72 ms XLA conv, k=100
+# a wash (0.98 vs 0.95).  PERFORMANCE.md has the table.
+_PALLAS_MIN_K = 128
+
+
+def ewma(y, k: int):
+    """Truncated EWMA filter.  ``(..., T) -> (..., T + 1)``.
+
+    Matches the reference ``EWMA(y, k)`` exactly: output ``j`` is the
+    weighted mean of ``padded[j : j + k]``, i.e. the window ending at
+    ``y[j - 1]``.  On TPU, wide filters route to the banded-matmul Pallas
+    kernel (same values, pinned in tests; conv-transpose gradients).
+    """
+    y = jnp.asarray(y)
+    if k >= _PALLAS_MIN_K and jax.default_backend() == "tpu":
+        return _ewma_mxu(y, k)
+    return _ewma_conv(y, k)
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ kernels run in interpreter mode.
 
 from .ewma_filter import ewma_pallas
 from .gh_ell import gh_expected_log_prob
-from .volt_cov import volt_covariance
+from .volt_cov import volt_covariance, volt_covariance_grad
 
-__all__ = ["volt_covariance", "gh_expected_log_prob", "ewma_pallas"]
+__all__ = ["volt_covariance", "volt_covariance_grad",
+           "gh_expected_log_prob", "ewma_pallas"]

@@ -1,11 +1,18 @@
 """Fused Gauss–Hermite expected log-prob (exp parameterization) in Pallas.
 
-Computes ``E_{f~N(mu_i, s2_i)}[log N(y_i; 0, clamp(exp(f), 1e-3)^2)]`` for
-every datum — the GPCV ELBO's likelihood term (reference GH quadrature with
-75 nodes, ``train_utils.py:52``).  The node loop stays in registers: each
-grid step loads a ``(1, TILE)`` slice of ``(y, mu, s2)`` and accumulates the
-75-node weighted sum without ever materializing the ``(nodes, N)``
-intermediate in HBM.
+Computes ``E_{f~N(mu_i, s2_i)}[log N(y_i; 0, scale(f)^2)]`` with
+``scale(f) = clamp(exp(min(f, 80)), 1e-3)`` for every datum — the GPCV
+ELBO's likelihood term (reference GH quadrature with 75 nodes,
+``train_utils.py:52``; the overflow cap matches
+``likelihoods.VolatilityGaussianLikelihood.scale``).
+
+The node loop stays in registers: each grid step loads a ``(b, TILE)``
+slice of ``(y, mu, s2)`` and accumulates the weighted node sum without
+ever materializing the ``(nodes, N)`` intermediate in HBM — in either
+direction: the backward pass is a second fused kernel computing
+``(dy, dmu, ds2)`` analytically with the same structure, so the op is a
+drop-in ``custom_vjp`` for the XLA quadrature inside the jitted
+training loop.
 """
 
 from __future__ import annotations
@@ -24,6 +31,8 @@ __all__ = ["gh_expected_log_prob"]
 
 _TILE = 512
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+_F_CAP = 80.0
+_SCALE_MIN = 1e-3
 
 
 def _make_kernel(num_locs: int):
@@ -33,8 +42,8 @@ def _make_kernel(num_locs: int):
         sd = jnp.sqrt(2.0 * s2_ref[:, :])
 
         def body(k, acc):
-            f = sd * locs_ref[0, k] + mu
-            scale = jnp.maximum(jnp.exp(f), 1e-3)
+            f = jnp.minimum(sd * locs_ref[0, k] + mu, _F_CAP)
+            scale = jnp.maximum(jnp.exp(f), _SCALE_MIN)
             lp = -0.5 * (y / scale) ** 2 - jnp.log(scale) - _HALF_LOG_2PI
             return acc + w_ref[0, k] * lp
 
@@ -45,8 +54,70 @@ def _make_kernel(num_locs: int):
     return kernel
 
 
+def _make_bwd_kernel(num_locs: int):
+    """Analytic cotangents, same register-resident node loop.
+
+    With ``f_k = sd x_k + mu``, ``fc = min(f, 80)``,
+    ``s = max(exp(fc), 1e-3)``:
+
+        dlp/df  = (y^2/s^2 - 1) * [exp(fc) > 1e-3] * [f < 80]
+        dlp/dy  = -y / s^2
+        dE/dmu  = sum_k w_k dlp/df(f_k)
+        dE/ds2  = sum_k w_k dlp/df(f_k) * x_k / sd
+        dE/dy   = sum_k w_k dlp/dy(f_k)
+    """
+
+    def kernel(y_ref, mu_ref, s2_ref, g_ref, locs_ref, w_ref,
+               dy_ref, dmu_ref, ds2_ref):
+        y = y_ref[:, :]
+        mu = mu_ref[:, :]
+        s2 = s2_ref[:, :]
+        g = g_ref[:, :]
+        sd = jnp.sqrt(2.0 * s2)
+        inv_sd = 1.0 / jnp.maximum(sd, 1e-20)
+
+        def body(k, acc):
+            ay, amu, as2 = acc
+            x_k = locs_ref[0, k]
+            w_k = w_ref[0, k]
+            f = sd * x_k + mu
+            fc = jnp.minimum(f, _F_CAP)
+            ef = jnp.exp(fc)
+            scale = jnp.maximum(ef, _SCALE_MIN)
+            live = jnp.where(
+                (ef > _SCALE_MIN) & (f < _F_CAP), 1.0, 0.0
+            )
+            r2 = (y / scale) ** 2
+            dlp_df = (r2 - 1.0) * live
+            return (
+                ay + w_k * (-y / (scale * scale)),
+                amu + w_k * dlp_df,
+                as2 + (w_k * x_k) * dlp_df,
+            )
+
+        zero = jnp.zeros_like(y)
+        ay, amu, as2 = jax.lax.fori_loop(
+            0, num_locs, body, (zero, zero, zero)
+        )
+        dy_ref[:, :] = g * ay
+        dmu_ref[:, :] = g * amu
+        ds2_ref[:, :] = g * as2 * inv_sd
+
+    return kernel
+
+
+def _pad(arrs, n, n_pad, var_idx):
+    if n_pad == n:
+        return arrs
+    out = []
+    for i, a in enumerate(arrs):
+        cv = 1.0 if i == var_idx else 0.0
+        out.append(jnp.pad(a, ((0, 0), (0, n_pad - n)), constant_values=cv))
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_locs", "interpret"))
-def _gh_ell_padded(y, mu, s2, num_locs: int, interpret: bool):
+def _gh_ell_fwd_padded(y, mu, s2, num_locs: int, interpret: bool):
     locs, w = gauss_hermite_nodes(num_locs, dtype=y.dtype)
     locs = locs[None, :]
     w = w[None, :]
@@ -66,24 +137,68 @@ def _gh_ell_padded(y, mu, s2, num_locs: int, interpret: bool):
     )(y, mu, s2, locs, w)
 
 
+@partial(jax.jit, static_argnames=("num_locs", "interpret"))
+def _gh_ell_bwd_padded(y, mu, s2, g, num_locs: int, interpret: bool):
+    locs, w = gauss_hermite_nodes(num_locs, dtype=y.dtype)
+    locs = locs[None, :]
+    w = w[None, :]
+    b, n = y.shape
+    grid = (n // _TILE,)
+    spec = pl.BlockSpec((b, _TILE), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec((1, num_locs), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    shape = jax.ShapeDtypeStruct((b, n), y.dtype)
+    return pl.pallas_call(
+        _make_bwd_kernel(num_locs),
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec, node_spec, node_spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(y, mu, s2, g, locs, w)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gh_ell_2d(y, mu, s2, num_locs: int, interpret: bool):
+    n = y.shape[-1]
+    n_pad = -(-n // _TILE) * _TILE
+    y2, mu2, s22 = _pad((y, mu, s2), n, n_pad, var_idx=2)
+    return _gh_ell_fwd_padded(y2, mu2, s22, num_locs, interpret)[:, :n]
+
+
+def _gh_ell_2d_fwd(y, mu, s2, num_locs, interpret):
+    return _gh_ell_2d(y, mu, s2, num_locs, interpret), (y, mu, s2)
+
+
+def _gh_ell_2d_bwd(num_locs, interpret, res, g):
+    y, mu, s2 = res
+    n = y.shape[-1]
+    n_pad = -(-n // _TILE) * _TILE
+    y2, mu2, s22, g2 = _pad((y, mu, s2, g), n, n_pad, var_idx=2)
+    dy, dmu, ds2 = _gh_ell_bwd_padded(y2, mu2, s22, g2, num_locs, interpret)
+    return dy[:, :n], dmu[:, :n], ds2[:, :n]
+
+
+_gh_ell_2d.defvjp(_gh_ell_2d_fwd, _gh_ell_2d_bwd)
+
+
 def gh_expected_log_prob(y, mean, var, num_locs: int = DEFAULT_NUM_LOCS,
                          interpret: bool | None = None):
-    """Fused quadrature; shapes ``(..., N)`` broadcast together."""
+    """Fused quadrature; shapes ``(..., N)`` broadcast together.
+
+    Reverse-differentiable (fused analytic backward kernel, pinned against
+    the XLA quadrature's autodiff in ``tests/test_pallas.py``).
+    """
     y, mean, var = jnp.broadcast_arrays(
         jnp.asarray(y), jnp.asarray(mean), jnp.asarray(var)
     )
     shape = y.shape
     n = shape[-1]
-    y2 = y.reshape(-1, n)
-    mu2 = mean.reshape(-1, n)
-    s22 = var.reshape(-1, n)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_pad = -(-n // _TILE) * _TILE
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n))
-        y2 = jnp.pad(y2, pad)
-        mu2 = jnp.pad(mu2, pad)
-        s22 = jnp.pad(s22, pad, constant_values=1.0)
-    out = _gh_ell_padded(y2, mu2, s22, num_locs, interpret)
-    return out[:, :n].reshape(shape)
+    out = _gh_ell_2d(
+        y.reshape(-1, n), mean.reshape(-1, n), var.reshape(-1, n),
+        num_locs, interpret,
+    )
+    return out.reshape(shape)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["volt_covariance"]
+__all__ = ["volt_covariance", "volt_covariance_grad"]
 
 _TILE = 256
 
@@ -58,6 +58,31 @@ def _volt_covariance_padded(integral, interpret: bool):
         ),
         interpret=interpret,
     )(integral)
+
+
+@jax.custom_vjp
+def volt_covariance_grad(x, vol):
+    """:func:`volt_covariance` with gradients (the build is linear in the
+    weighted ``vol^2`` integral; the backward pass reuses the XLA twin's
+    transpose).  This is what :class:`~volt_tpu.kernels.VolatilityKernel`
+    dispatches to on TPU."""
+    return volt_covariance(x, vol)
+
+
+def _volt_cov_fwd(x, vol):
+    return volt_covariance(x, vol), (x, vol)
+
+
+def _volt_cov_bwd(res, g):
+    from ..volint import min_index_covariance, vol_integral
+
+    x, vol = res
+    return jax.vjp(
+        lambda xx, vv: min_index_covariance(vol_integral(xx, vv)), x, vol
+    )[1](g)
+
+
+volt_covariance_grad.defvjp(_volt_cov_fwd, _volt_cov_bwd)
 
 
 def volt_covariance(x, vol, interpret: bool | None = None):
