@@ -35,6 +35,62 @@ class TestKroneckerAlgebra:
         )
         assert float(got) == pytest.approx(expected, rel=1e-4)
 
+    def test_log_prob_grads_match_autodiff(self, rng):
+        """The closed-form VJP vs autodiff of the same math (re-derived
+        here without custom_vjp) at a NON-degenerate point."""
+        import math
+
+        n, t = 10, 3
+        kd = _psd(rng, n).astype(np.float32)
+        kt = _psd(rng, t).astype(np.float32)
+        y = rng.standard_normal((n, t)).astype(np.float32)
+        mean = np.zeros((n, t), np.float32)
+        noise = np.float32(0.3)
+
+        def plain(yv, m, a, b, s):
+            ld, qd = jnp.linalg.eigh(a)
+            lt, qt = jnp.linalg.eigh(b)
+            rot = jnp.swapaxes(qd, -1, -2) @ ((yv - m) @ qt)
+            denom = ld[:, None] * lt[None, :] + s
+            return -0.5 * (jnp.sum(rot * rot / denom)
+                           + jnp.sum(jnp.log(denom))
+                           + n * t * math.log(2 * math.pi))
+
+        args = tuple(map(jnp.asarray, (y, mean, kd, kt, noise)))
+        g_custom = jax.grad(kron_mvn_log_prob, argnums=(0, 1, 2, 3, 4))(*args)
+        g_plain = jax.grad(plain, argnums=(0, 1, 2, 3, 4))(*args)
+        for name, a, b in zip(("y", "mean", "kd", "kt", "noise"),
+                              g_custom, g_plain):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4,
+                                       err_msg=name)
+
+    def test_log_prob_grads_finite_at_degenerate_task_covar(self, rng):
+        """Regression: the IndexKernel init ``f f^T + c I`` has T-rank
+        equal eigenvalues; stock eigh autodiff NaN'd the whole multitask
+        fit at iteration 0.  The closed-form VJP must stay finite AND
+        correct (pinned by float32 finite differences on the diagonal)."""
+        n, t = 20, 8
+        f = rng.standard_normal((t, 1))
+        kt = (f @ f.T + 0.6931 * np.eye(t)).astype(np.float32)
+        x = ((1 + np.arange(n)) / 252).astype(np.float32)
+        kd = (0.2 * np.minimum.outer(x, x)).astype(np.float32)
+        y = (0.1 * rng.standard_normal((n, t))).astype(np.float32)
+
+        def ll(b):
+            return kron_mvn_log_prob(
+                jnp.asarray(y), jnp.zeros((n, t), jnp.float32),
+                jnp.asarray(kd), b, 1e-2,
+            )
+
+        g = jax.grad(ll)(jnp.asarray(kt))
+        assert bool(jnp.isfinite(g).all())
+        h = 1e-2
+        e = np.zeros((t, t), np.float32)
+        e[0, 0] = 1.0
+        fd = (float(ll(jnp.asarray(kt + h * e)))
+              - float(ll(jnp.asarray(kt - h * e)))) / (2 * h)
+        assert float(jnp.sum(g * e)) == pytest.approx(fd, rel=0.05)
+
     def test_kl_matches_dense(self, rng):
         n, t = 8, 3
         kd, kt = _psd(rng, n), _psd(rng, t)

@@ -38,12 +38,7 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HIGHEST)
 
 
-def kron_mvn_log_prob(y, mean, k_data, k_task, noise):
-    """``log N(vec(y); vec(mean), K_data (x) K_task + noise I)``.
-
-    ``y`` / ``mean``: ``(..., N, T)`` laid out so that
-    ``vec`` interleaves tasks fastest (gpytorch's multitask convention).
-    """
+def _kron_pieces(y, mean, k_data, k_task, noise):
     n, t = y.shape[-2], y.shape[-1]
     ld, qd = jnp.linalg.eigh(k_data)
     lt, qt = jnp.linalg.eigh(k_task)
@@ -55,7 +50,82 @@ def kron_mvn_log_prob(y, mean, k_data, k_task, noise):
     denom = ld[..., :, None] * lt[..., None, :] + noise
     quad = jnp.sum(rot * rot / denom, axis=(-2, -1))
     logdet = jnp.sum(jnp.log(denom), axis=(-2, -1))
-    return -0.5 * (quad + logdet + n * t * _LOG_2PI)
+    ll = -0.5 * (quad + logdet + n * t * _LOG_2PI)
+    return ll, (ld, qd, lt, qt, rot, denom)
+
+
+@jax.custom_vjp
+def kron_mvn_log_prob(y, mean, k_data, k_task, noise):
+    """``log N(vec(y); vec(mean), K_data (x) K_task + noise I)``.
+
+    ``y`` / ``mean``: ``(..., N, T)`` laid out so that
+    ``vec`` interleaves tasks fastest (gpytorch's multitask convention).
+
+    Carries a closed-form VJP: the MLL's factor gradients are
+
+        ``dL/dK_d = -1/2 (Q_d diag_i(sum_a lt_a / D_ia) Q_d^T
+                          - alpha K_t alpha^T)``
+        ``dL/dK_t = -1/2 (Q_t diag_a(sum_i ld_i / D_ia) Q_t^T
+                          - alpha^T K_d alpha)``
+
+    with ``alpha = Sigma^{-1} r`` — spectral functions and
+    alpha-quadratics only.  This matters: autodiff through ``eigh``
+    divides by eigenvalue gaps and returns NaN for repeated eigenvalues,
+    and the task covariance is born degenerate (``IndexKernel.init``
+    gives ``f f^T + c I`` with ``T - rank`` equal eigenvalues), which
+    NaN'd the whole multitask fit at iteration 0.
+    """
+    return _kron_pieces(y, mean, k_data, k_task, noise)[0]
+
+
+def _kron_mvn_log_prob_fwd(y, mean, k_data, k_task, noise):
+    ll, (ld, qd, lt, qt, rot, denom) = _kron_pieces(
+        y, mean, k_data, k_task, noise
+    )
+    return ll, (ld, qd, lt, qt, rot, denom, k_data, k_task, noise)
+
+
+def _kron_mvn_log_prob_bwd(res, g):
+    ld, qd, lt, qt, rot, denom, k_data, k_task, noise = res
+    qd_t = jnp.swapaxes(qd, -1, -2)
+    qt_t = jnp.swapaxes(qt, -1, -2)
+    scaled = rot / denom
+    alpha = _mm(qd, _mm(scaled, qt_t))       # Sigma^{-1} r, (N, T) layout
+
+    g_ = g[..., None, None]
+    d_y = (-g_) * alpha                       # dL/dy = -alpha
+    d_mean = g_ * alpha
+
+    inv = 1.0 / denom
+    # logdet spectral terms
+    trace_d = jnp.sum(lt[..., None, :] * inv, axis=-1)   # (..., N)
+    trace_t = jnp.sum(ld[..., :, None] * inv, axis=-2)   # (..., T)
+    gkd_logdet = _mm(qd * trace_d[..., None, :], qd_t)
+    gkt_logdet = _mm(qt * trace_t[..., None, :], qt_t)
+    # quadratic terms
+    akt = _mm(alpha, k_task)
+    gkd_quad = _mm(akt, jnp.swapaxes(alpha, -1, -2))     # alpha Kt alpha^T
+    kda = _mm(k_data, alpha)
+    gkt_quad = _mm(jnp.swapaxes(alpha, -1, -2), kda)     # alpha^T Kd alpha
+
+    def _sym(m):
+        return 0.5 * (m + jnp.swapaxes(m, -1, -2))
+
+    d_kd = (-0.5 * g_) * _sym(gkd_logdet - gkd_quad)
+    d_kt = (-0.5 * g_) * _sym(gkt_logdet - gkt_quad)
+
+    d_noise_full = -0.5 * g * (
+        jnp.sum(inv, axis=(-2, -1)) - jnp.sum(alpha * alpha, axis=(-2, -1))
+    )
+    noise_arr = jnp.asarray(noise)
+    d_noise = jnp.sum(
+        d_noise_full,
+        axis=tuple(range(d_noise_full.ndim - noise_arr.ndim)),
+    ).reshape(noise_arr.shape)
+    return d_y, d_mean, d_kd, d_kt, d_noise
+
+
+kron_mvn_log_prob.defvjp(_kron_mvn_log_prob_fwd, _kron_mvn_log_prob_bwd)
 
 
 def kron_kl(mean_q, root_x, root_t, mean_p, k_data, k_task):
