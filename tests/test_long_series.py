@@ -38,7 +38,11 @@ class TestLongSeries:
         assert 0.3 < ratio < 3.0, ratio
 
     def test_tridiagonal_mll_at_scale(self, long_series):
-        # the data-model MLL at n = 16k: O(n) work, no factorization.
+        # the data-model MLL at n = 8k: O(n) work, no factorization.  The
+        # value is pinned against an independent float64 Kalman filter for
+        # the same state-space model (x_t = x_{t-1} + N(0, v_t - v_{t-1}),
+        # y_t = x_t + N(0, noise)) — a different O(n) algorithm, so a
+        # shared misreading with the LDL path is impossible.
         train_x, prices, _ = long_series
         rng = np.random.default_rng(1)
         vol = jnp.asarray((0.15 + 0.1 * rng.random(N_LONG)).astype(np.float32))
@@ -48,12 +52,42 @@ class TestLongSeries:
         r = jnp.asarray(
             (0.05 * rng.standard_normal(N_LONG)).astype(np.float32)
         )
-        mll = brownian_noise_mll(v, jnp.float32(0.01), r)
-        assert np.isfinite(float(mll))
+        noise = 0.01
+        mll = brownian_noise_mll(v, jnp.float32(noise), r)
+
+        v64 = np.asarray(v, np.float64)
+        r64 = np.asarray(r, np.float64)
+        q = np.diff(v64, prepend=0.0)  # state-noise variances
+        ll, m, p = 0.0, 0.0, 0.0
+        for t in range(N_LONG):
+            p = p + q[t]
+            s = p + noise
+            innov = r64[t] - m
+            ll -= 0.5 * (np.log(2 * np.pi * s) + innov * innov / s)
+            k = p / s
+            m = m + k * innov
+            p = (1.0 - k) * p
+        # brownian_noise_mll is per-point normalized (MLL / n)
+        assert float(mll) == pytest.approx(ll / N_LONG, rel=1e-4)
+
         g = jax.grad(
             lambda s: -brownian_noise_mll(v, s, r)
-        )(jnp.float32(0.01))
-        assert np.isfinite(float(g))
+        )(jnp.float32(noise))
+        # pin the noise gradient with float64 central differences
+        h = 1e-4
+        def f64(s):
+            ll, m, p = 0.0, 0.0, 0.0
+            for t in range(N_LONG):
+                p = p + q[t]
+                sv = p + s
+                innov = r64[t] - m
+                ll -= 0.5 * (np.log(2 * np.pi * sv) + innov * innov / sv)
+                k = p / sv
+                m = m + k * innov
+                p = (1.0 - k) * p
+            return ll
+        fd = -(f64(noise + h) - f64(noise - h)) / (2 * h) / N_LONG
+        assert float(g) == pytest.approx(fd, rel=1e-2)
 
     def test_long_rollout(self, long_series):
         # Markov rollout over a 1000-step horizon from a 16k-point history.

@@ -202,14 +202,63 @@ class TestMultitaskVariationalGP:
             params, opt_state, loss = step(params, opt_state)
         assert float(loss) < loss0
 
-    def test_predict_shapes(self, rng):
+    def test_predict_matches_dense_oracle(self, rng):
+        """The unwhitened Kronecker predictive (reference
+        ``multi_task_variational_gp.py:113-145``) vs a dense float64
+        restatement: mean = (Kuu^{-1} Kux)^T (M - prior) + c and
+        cov = (Kxx - Kxu Kuu^{-1} Kux) (x) B + (A Sx A^T) (x) St."""
         n, m, t = 20, 4, 3
         x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
         tx = jnp.asarray((np.arange(n, n + m) + 1.0).astype(np.float32) / 252)
         module = MultitaskVariationalGP(num_tasks=t)
         params = module.init(x)
+        # non-trivial variational state (the init is identity/near-zero)
+        params = {
+            **params,
+            "variational_mean": jnp.asarray(
+                rng.standard_normal((n, t)).astype(np.float32)
+            ),
+            "variational_covar_root": jnp.asarray(
+                np.linalg.cholesky(_psd(rng, n, 0.5)).astype(np.float32)
+            ),
+            "variational_task_covar_root": jnp.asarray(
+                np.linalg.cholesky(_psd(rng, t, 0.5)).astype(np.float32)
+            ),
+            "mean_constants": jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+        }
         mean, cov = module.predict(params, x, tx)
         assert mean.shape == (m, t)
         assert cov.shape == (m * t, m * t)
+
+        # dense float64 oracle
+        kuu = np.asarray(module.data_kernel(params["data_kernel"], x),
+                         np.float64)
+        kux = np.asarray(module.data_kernel(params["data_kernel"], x, tx),
+                         np.float64)
+        kxx = np.asarray(module.data_kernel(params["data_kernel"], tx),
+                         np.float64)
+        b = np.asarray(
+            module.index_kernel.covar_matrix(params["index_kernel"]),
+            np.float64,
+        )
+        vm = np.asarray(params["variational_mean"], np.float64)
+        rx = np.tril(np.asarray(params["variational_covar_root"], np.float64))
+        rt = np.tril(
+            np.asarray(params["variational_task_covar_root"], np.float64)
+        )
+        c = np.asarray(params["mean_constants"], np.float64)
+
+        a = np.linalg.solve(kuu, kux)  # (N, M)
+        mean_exp = a.T @ (vm - c[None, :]) + c[None, :]
+        first = kxx - kux.T @ a
+        half = a.T @ rx
+        third = half @ half.T
+        st = rt @ rt.T
+        cov_exp = np.kron(first, b) + np.kron(third, st)
+
+        np.testing.assert_allclose(np.asarray(mean, np.float64), mean_exp,
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cov, np.float64), cov_exp,
+                                   rtol=2e-3, atol=2e-4)
         evals = np.linalg.eigvalsh(np.asarray(cov, np.float64))
         assert evals.min() > -1e-4

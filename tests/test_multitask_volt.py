@@ -35,11 +35,27 @@ class TestMultitaskVolt:
         assert volt_state.train_y.shape == (T, N)
         assert mt_state.train_y.shape == (N, T)
 
-    def test_vol_mll_finite(self, fitted_mt):
+    def test_vol_mll_matches_dense_oracle(self, fitted_mt):
+        # The Kronecker-structured MLL of the *fitted* state, pinned to a
+        # dense float64 scipy logpdf over the materialized NT x NT
+        # covariance built from the module's own kernel matrices.
+        import scipy.stats
+
         _, train_x, _, _, mt_state = fitted_mt
-        mll = mt_state.module.mll(mt_state.params, train_x,
-                                  mt_state.train_y)
-        assert np.isfinite(float(mll))
+        module, params = mt_state.module, mt_state.params
+        mll = module.mll(params, train_x, mt_state.train_y)
+
+        kd = np.asarray(module.data_kernel(params["data_kernel"], train_x),
+                        np.float64)
+        kt = np.asarray(module.task_covar(params), np.float64)
+        noise = float(module.likelihood.noise(params["likelihood"])[..., 0])
+        mean = np.asarray(module.mean(params, train_x), np.float64)
+        y = np.asarray(mt_state.train_y, np.float64)
+        dense = np.kron(kd, kt) + noise * np.eye(N * T)
+        expected = scipy.stats.multivariate_normal.logpdf(
+            y.reshape(-1), mean.reshape(-1), dense
+        ) / (N * T)
+        assert float(mll) == pytest.approx(expected, rel=1e-4)
 
     def test_joint_rollouts(self, fitted_mt):
         f, train_x, test_x, volt_state, mt_state = fitted_mt
@@ -55,13 +71,35 @@ class TestMultitaskVolt:
             assert abs(first - np.log(f[t, -1])) < 0.2
 
     def test_vol_forecasts_correlated(self, fitted_mt):
-        # correlated task covariance => cross-asset vol-path correlation
-        _, _, test_x, _, mt_state = fitted_mt
-        draws = mt_state.sample(jax.random.key(1), test_x, (4000,))
-        a = np.asarray(draws[..., -1, 0])
-        b = np.asarray(draws[..., -1, 1])
-        c = abs(np.corrcoef(a, b)[0, 1])
-        assert np.isfinite(c)
+        # A strongly-coupled task covariance must produce strongly
+        # correlated cross-asset vol forecasts; a decoupled one must not.
+        _, train_x, test_x, _, mt_state = fitted_mt
+
+        def corr_with_task_covar(covar_factor, raw_var):
+            params = {
+                **mt_state.params,
+                "task_kernel": {
+                    "covar_factor": jnp.asarray(covar_factor, jnp.float32),
+                    "raw_var": jnp.asarray(raw_var, jnp.float32),
+                },
+            }
+            state = mt_state.replace(params=params)
+            draws = state.sample(jax.random.key(1), test_x, (4000,))
+            a = np.asarray(draws[..., -1, 0])
+            b = np.asarray(draws[..., -1, 1])
+            return np.corrcoef(a, b)[0, 1]
+
+        # B = 4*ones + softplus(-6)*I: cross-task correlation ~ 0.999
+        coupled = corr_with_task_covar(2.0 * np.ones((T, 1)),
+                                       -6.0 * np.ones(T))
+        assert coupled > 0.9, coupled
+        # B ~ diag: samples decorrelate (the coupling is causal, not an
+        # artifact of shared randomness)
+        decoupled = corr_with_task_covar(np.zeros((T, 1)), np.zeros(T))
+        assert abs(decoupled) < 0.2, decoupled
+        # and the fitted state itself stays finite
+        draws = mt_state.sample(jax.random.key(1), test_x, (400,))
+        assert np.isfinite(np.asarray(draws)).all()
 
 
 class TestMultitaskWindDriver:
