@@ -129,3 +129,26 @@ class TestCvParameterization:
         assert float(moved) > 0
         scale = module.predicted_scale(params2, train_x)
         assert bool(jnp.all(scale > 0))
+
+
+class TestReferenceAliasSurface:
+    def test_every_reference_name_resolves(self):
+        # MIGRATION.md contract: each name the reference exports
+        # (voltron/__init__.py:1-12, voltron/models/__init__.py:1-6)
+        # resolves in volt_tpu under the same spelling.
+        import volt_tpu
+        from volt_tpu import models
+
+        for name in ["BMKernel", "VolatilityKernel", "BMGP", "VoltronGP",
+                     "MultitaskBMGP", "LearnGPCV", "TrainVolModel",
+                     "TrainDataModel", "TrainVoltMagpieModel",
+                     "TrainBasicModel", "Rollouts", "GeneratePrediction",
+                     "Pricer", "ECDF", "Volt"]:
+            assert hasattr(volt_tpu, name), name
+        for name in ["BMGP", "MultitaskBMGP", "VoltronGP",
+                     "MultitaskVariationalGP", "SingleTaskVariationalGP",
+                     "MaternGP", "SMGP", "VoltMagpie", "LSTM"]:
+            assert hasattr(models, name), name
+        assert models.VoltronGP is models.VoltGP
+        assert volt_tpu.LearnGPCV is volt_tpu.learn_gpcv
+        assert volt_tpu.GeneratePrediction is volt_tpu.generate_prediction

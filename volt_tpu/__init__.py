@@ -33,10 +33,13 @@ from . import (
     rollouts,
     train,
 )
+from .kernels import BMKernel, VolatilityKernel
+from .models import BMGP, MultitaskBMGP, VoltGP, VoltronGP
 from .models.volt_api import Volt
 from .options import ECDF, Pricer, ecdf, pricer
 from .rollouts import (
     generate_prediction,
+    generate_prediction as GeneratePrediction,
     mean_prediction,
     nonvol_rollouts,
     rollouts as Rollouts,
@@ -45,6 +48,11 @@ from .rollouts import (
     sample_vol_paths,
 )
 from .train import (
+    LearnGPCV,
+    TrainBasicModel,
+    TrainDataModel,
+    TrainVolModel,
+    TrainVoltMagpieModel,
     learn_gpcv,
     learn_gpcv_sparse,
     train_basic_model,
@@ -84,5 +92,18 @@ __all__ = [
     "pricer",
     "ECDF",
     "Pricer",
+    # reference-style aliases (voltron/__init__.py:1-12)
+    "BMKernel",
+    "VolatilityKernel",
+    "BMGP",
+    "VoltGP",
+    "VoltronGP",
+    "MultitaskBMGP",
+    "GeneratePrediction",
+    "LearnGPCV",
+    "TrainVolModel",
+    "TrainDataModel",
+    "TrainVoltMagpieModel",
+    "TrainBasicModel",
     "__version__",
 ]
