@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from volt_tpu.ops.tridiag import brownian_noise_mll
+from volt_tpu.ops.tridiag import brownian_noise_mll_kalman
 from volt_tpu.train import learn_gpcv_sparse
 
 
@@ -37,12 +37,13 @@ class TestLongSeries:
         ratio = float(jnp.median(vol)) / np.median(vol_true)
         assert 0.3 < ratio < 3.0, ratio
 
-    def test_tridiagonal_mll_at_scale(self, long_series):
-        # the data-model MLL at n = 8k: O(n) work, no factorization.  The
-        # value is pinned against an independent float64 Kalman filter for
-        # the same state-space model (x_t = x_{t-1} + N(0, v_t - v_{t-1}),
-        # y_t = x_t + N(0, noise)) — a different O(n) algorithm, so a
-        # shared misreading with the LDL path is impossible.
+    def test_mll_at_scale(self, long_series):
+        # the production data-model MLL (the float32 Kalman scan every
+        # training loop drives) at n = 8k: O(n) work, no factorization.
+        # The value is pinned against an independent float64 numpy Kalman
+        # filter for the same state-space model (x_t = x_{t-1} +
+        # N(0, v_t - v_{t-1}), y_t = x_t + N(0, noise)); the associative
+        # LDL twin is dense-pinned separately in test_graft_contract.
         train_x, prices, _ = long_series
         rng = np.random.default_rng(1)
         vol = jnp.asarray((0.15 + 0.1 * rng.random(N_LONG)).astype(np.float32))
@@ -53,7 +54,7 @@ class TestLongSeries:
             (0.05 * rng.standard_normal(N_LONG)).astype(np.float32)
         )
         noise = 0.01
-        mll = brownian_noise_mll(v, jnp.float32(noise), r)
+        mll = brownian_noise_mll_kalman(v, jnp.float32(noise), r)
 
         v64 = np.asarray(v, np.float64)
         r64 = np.asarray(r, np.float64)
@@ -67,11 +68,11 @@ class TestLongSeries:
             k = p / s
             m = m + k * innov
             p = (1.0 - k) * p
-        # brownian_noise_mll is per-point normalized (MLL / n)
+        # brownian_noise_mll_kalman is per-point normalized (MLL / n)
         assert float(mll) == pytest.approx(ll / N_LONG, rel=1e-4)
 
         g = jax.grad(
-            lambda s: -brownian_noise_mll(v, s, r)
+            lambda s: -brownian_noise_mll_kalman(v, s, r)
         )(jnp.float32(noise))
         # pin the noise gradient with float64 central differences
         h = 1e-4

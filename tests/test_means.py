@@ -136,10 +136,10 @@ class TestMagpieScanProtocol:
     @pytest.mark.parametrize("k", [7, 40])
     def test_scan_matches_full(self, rng, mean_cls, kwargs, k):
         mean = mean_cls(k=k, **kwargs)
-        y = rng.standard_normal(130).astype(np.float32)
+        y = rng.standard_normal(112).astype(np.float32)
         n0 = 100
         state = mean.scan_init({}, jnp.asarray(y[:n0]))
-        for t in range(n0, 130):
+        for t in range(n0, 112):
             history = jnp.asarray(y[:t])
             if isinstance(mean, M.MeanRevertingEMAMean):
                 # latent mean frozen at scan_init's series mean

@@ -95,11 +95,15 @@ class TestExperimentDrivers:
         f, _ = sabr_paths(steps=81, seed=2, F0=50.0)
         out = generate_one_day_predictions(
             "TEST", f, "2022-01-01", forecast_horizon=4, train_iters=10,
-            nsample=4, ntrain=81, outdir=str(tmp_path),
+            nsample=4, ntrain=81, outdir=str(tmp_path), ks=(25, 50),
         )
-        assert len(out) == 18  # 3 means x 6 k values
+        assert len(out) == 6  # 3 means x 2 k values
         for s in out.values():
             assert s.shape == (4, 4)
+        # the default grid is the reference's (GenerateMultiMeanPreds.py:183-190)
+        import inspect
+        sig = inspect.signature(generate_one_day_predictions)
+        assert sig.parameters["ks"].default == (25, 50, 100, 200, 300, 400)
 
     def test_generate_basic_predictions(self, tmp_path):
         from volt_tpu.experiments import generate_basic_predictions

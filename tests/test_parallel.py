@@ -42,6 +42,22 @@ class TestPipeline:
                                           test_x, CFG)
         assert samples.shape == (8, 16, H)
         assert bool(jnp.all(jnp.isfinite(samples)))
+        assert aux["ok"].shape == (8,) and bool(jnp.all(aux["ok"]))
+
+    def test_per_asset_failure_isolation(self, batch_data):
+        # The reference skips failed tickers with try/except
+        # (LSTMGenerator.py:35,67-68); here a poisoned asset (non-positive
+        # prices => NaN log returns) must flag ok=False on its own lane
+        # while every other asset stays finite and usable.
+        train_x, ys, test_x = batch_data
+        poisoned = ys.at[3].set(jnp.zeros_like(ys[3]))
+        samples, aux = fit_forecast_batch(jax.random.key(0), train_x,
+                                          poisoned, test_x, CFG)
+        ok = np.asarray(aux["ok"])
+        assert not ok[3]
+        keep = [i for i in range(8) if i != 3]
+        assert ok[keep].all()
+        assert np.isfinite(np.asarray(samples)[keep]).all()
 
     def test_batch_sharded_over_mesh(self, batch_data, devices):
         train_x, ys, test_x = batch_data

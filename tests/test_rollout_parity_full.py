@@ -6,10 +6,12 @@ of ``rollout_utils.py:57-93`` — at EVERY step of a 10-step horizon, for
 each history-dependent mean (EWMA, DEWMA, TEWMA, MeanRevert) and with the
 mean-reversion knob ``theta`` switched on.
 
-Both paths are handed the same top-level key: each splits it once and uses
-the first half for ``sample_vol_paths``, so they condition on *identical*
-vol draws and only the z-draw Monte-Carlo error separates the per-step
-moment estimates.  ``nonvol_rollouts`` gets the same treatment for the
+Common random numbers make the check exact rather than statistical: both
+paths are handed the *same* vol draws and the same per-step standard
+normals, so if the conditional laws agree the sampled paths must agree
+per-path, per-step, to float32 precision — a far stronger assertion than
+moment matching (which let a trend-follower's MC error masquerade as
+bias).  ``nonvol_rollouts`` gets the same treatment for the
 spectral-mixture kernel paired with a Magpie mean (the reference's
 ``nonvol_rollouts``, ``rollout_utils.py:95-115``, as driven by
 ``BasicWindRollouts``).
@@ -24,16 +26,17 @@ from volt_tpu.data import sabr_paths
 from volt_tpu.means import EWMAMean
 from volt_tpu.models.basic import SMGP
 from volt_tpu.rollouts import (
-    nonvol_rollouts,
+    _nonvol_scan,
+    _rollout_volt_scan,
     nonvol_rollouts_dense,
-    rollouts,
     rollouts_dense,
+    sample_vol_paths,
 )
 from volt_tpu.train import learn_gpcv, train_vol_model, train_volt_magpie
 
-N, H = 90, 10
+N, H = 72, 10
 DT = 1.0 / 252
-NSAMPLE = 1500
+NSAMPLE = 64
 
 
 @pytest.fixture(scope="module")
@@ -58,31 +61,36 @@ def base():
     ],
     ids=["ewma", "dewma", "tewma", "meanrevert", "ewma-theta"],
 )
-def test_volt_rollout_matches_dense_every_step(base, mean_func, theta):
+def test_volt_rollout_matches_dense_per_path(base, mean_func, theta):
     train_x, train_y, test_x, vol, vol_state = base
     model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
                               train_iters=40, k=20, mean_func=mean_func)
 
     key = jax.random.key(1234)
-    fast = np.asarray(rollouts(key, model, train_x, train_y, test_x,
-                               nsample=NSAMPLE, theta=theta))
-    dense = np.asarray(rollouts_dense(key, model, train_x, train_y, test_x,
-                                      nsample=NSAMPLE, theta=theta))
+    k_vol, k_z = jax.random.split(key)
+    pred_vol = sample_vol_paths(k_vol, vol_state, test_x, NSAMPLE)
+    zs = jax.random.normal(k_z, (NSAMPLE, H), jnp.float32)
+
+    use_theta = theta is not None
+    latent = jnp.mean(jnp.log(train_y)) if use_theta else jnp.float32(0)
+    fast = np.asarray(_rollout_volt_scan(
+        model, latent, test_x, pred_vol, zs, use_theta,
+        jnp.float32(theta if use_theta else 0.0),
+    ))
+    dense = np.asarray(rollouts_dense(
+        key, model, train_x, train_y, test_x, nsample=NSAMPLE, theta=theta,
+        pred_vol=pred_vol, zs=zs,
+    ))
     assert fast.shape == dense.shape == (NSAMPLE, H)
-
-    # Per-step marginal moments, every step of the horizon.  Shared vol
-    # draws leave only z-draw MC error: mean ~ sd_t/sqrt(S) per path set.
-    f_mean, d_mean = fast.mean(0), dense.mean(0)
-    f_std, d_std = fast.std(0), dense.std(0)
-    np.testing.assert_allclose(f_mean, d_mean, atol=8e-3,
-                               err_msg=f"{mean_func} theta={theta} mean")
-    np.testing.assert_allclose(f_std, d_std, rtol=0.15, atol=2e-3,
-                               err_msg=f"{mean_func} theta={theta} std")
+    # Same conditional law + same draws => per-path agreement at every step.
+    np.testing.assert_allclose(fast, dense, atol=5e-4,
+                               err_msg=f"{mean_func} theta={theta}")
     # Paths must actually diffuse (guard against degenerate agreement).
-    assert f_std[-1] > f_std[0] > 0
+    std = fast.std(0)
+    assert std[-1] > std[0] > 0
 
 
-def test_nonvol_sm_magpie_matches_dense_every_step(base):
+def test_nonvol_sm_magpie_matches_dense_per_path(base):
     from volt_tpu.train import _fit_basic
 
     train_x, train_y, test_x, _, _ = base
@@ -92,20 +100,18 @@ def test_nonvol_sm_magpie_matches_dense_every_step(base):
     params["kernel"] = module.kernel.initialize_from_data(
         params["kernel"], train_x, log_y, key=jax.random.key(0)
     )
-    params, _ = _fit_basic(module, params, train_x, log_y, 80, 0.1)
+    params, _ = _fit_basic(module, params, train_x, log_y, 50, 0.1)
     model = module.fit_state(params, train_x, log_y)
 
-    nsample = 1200
-    fast = np.asarray(
-        nonvol_rollouts(jax.random.key(5), model, None, None, test_x,
-                        nsample=nsample)
-    )
+    nsample = 64
+    key = jax.random.key(5)
+    fast = np.asarray(_nonvol_scan(key, model, test_x, nsample))
+    # _nonvol_scan draws normal(key, (H, S)); hand the dense oracle the
+    # same numbers, transposed to its (S, H) convention.
+    zs = jax.random.normal(key, (H, nsample), jnp.float32).T
     dense = np.asarray(
-        nonvol_rollouts_dense(jax.random.key(6), model, test_x,
-                              nsample=nsample)
+        nonvol_rollouts_dense(key, model, test_x, nsample=nsample, zs=zs)
     )
     assert fast.shape == dense.shape == (nsample, H)
-    np.testing.assert_allclose(fast.mean(0), dense.mean(0), atol=8e-3)
-    np.testing.assert_allclose(fast.std(0), dense.std(0), rtol=0.15,
-                               atol=2e-3)
+    np.testing.assert_allclose(fast, dense, atol=2e-3)
     assert fast.std(0)[-1] > 0

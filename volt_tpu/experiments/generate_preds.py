@@ -123,12 +123,14 @@ def generate_one_day_predictions(ticker, train_y, date,
                                  train_iters: int = 400, nsample: int = 1000,
                                  ntrain: int = 400, save: bool = False,
                                  mean=None, outdir: str = "./saved-outputs",
-                                 key=None):
+                                 key=None,
+                                 ks=(25, 50, 100, 200, 300, 400)):
     """Mean-family x k sweep for one window (reference ``:141-206``).
 
     Shares one GPCV + vol fit across the whole {ewma, dewma, tewma} x
-    {25..400} grid (the reference refits nothing either: data-model
-    train_iters=0 for the sweep)."""
+    ``ks`` grid (default = the reference's k grid,
+    ``GenerateMultiMeanPreds.py:183-190``; the reference refits nothing
+    either: data-model train_iters=0 for the sweep)."""
     if key is None:
         key = jax.random.key(0)
     train_y = jnp.asarray(train_y, jnp.float32)
@@ -146,7 +148,7 @@ def generate_one_day_predictions(ticker, train_y, date,
             _save(savepath, f"volt_constant_{date}", s)
         return results
     for mean_name in ("ewma", "dewma", "tewma"):
-        for k in (25, 50, 100, 200, 300, 400):
+        for k in ks:
             key, k_s = jax.random.split(key)
             model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
                                       train_iters=0, k=k,

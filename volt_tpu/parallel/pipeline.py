@@ -124,7 +124,21 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
         jnp.float32(config.theta if use_theta else 0.0),
     )
 
+    # Per-asset failure flag: the structural replacement for the
+    # reference's per-ticker try/except skip-and-continue
+    # (LSTMGenerator.py:35,67-68 and the NaN-placeholder saves commented
+    # at GenerateMultiMeanPreds.py:129-134).  Inside one vmapped program a
+    # diverged asset stays confined to its own lanes; `ok` tells the
+    # caller which lanes to keep without a host round-trip per asset.
+    ok = (
+        jnp.all(jnp.isfinite(samples))
+        & jnp.isfinite(gpcv_losses[-1])
+        & jnp.isfinite(vol_losses[-1])
+        & jnp.isfinite(data_losses[-1])
+    )
+
     aux = {
+        "ok": ok,
         "vol": vol,
         "gpcv_loss": gpcv_losses[-1],
         "vol_loss": vol_losses[-1],

@@ -289,9 +289,16 @@ def generate_prediction_dense(key, model: VoltState, test_x, pred_vol,
 
 
 def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
-                   nsample: int = 50, theta=None):
+                   nsample: int = 50, theta=None, pred_vol=None, zs=None):
     """Literal dense restatement of the reference's autoregressive loop
-    (python loop; test oracle only)."""
+    (python loop; test oracle only).
+
+    ``pred_vol`` (S, H) and ``zs`` (S, H) optionally pin the vol draws and
+    per-step standard normals, enabling common-random-number comparisons
+    against the Markov fast path: with both supplied, the two paths sample
+    the *same* conditional law at the same points, so they must agree
+    per-path to float precision, not just in moments.
+    """
     kernel = VolatilityKernel()
     mean_mod = model.module.mean
     mean_params = model.params["mean"]
@@ -309,7 +316,8 @@ def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
     test_x = jnp.asarray(test_x)
     h = test_x.shape[-1]
     k_vol, key = jax.random.split(key)
-    pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample)
+    if pred_vol is None:
+        pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample)
 
     xs = model.train_x
     ys = jnp.broadcast_to(model.train_y, (nsample, model.train_y.shape[-1]))
@@ -341,8 +349,12 @@ def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
         pred_mean = cond_mean + m_test
         if use_theta:
             pred_mean = pred_mean - theta * (pred_mean - latent)
-        key, k_s = jax.random.split(key)
-        y_t = sample_mvn(k_s, pred_mean, cond_cov, jitter=1e-4)[..., 0]
+        if zs is None:
+            key, k_s = jax.random.split(key)
+            y_t = sample_mvn(k_s, pred_mean, cond_cov, jitter=1e-4)[..., 0]
+        else:
+            sd = jnp.sqrt(jnp.maximum(cond_cov[..., 0, 0], 0.0))
+            y_t = pred_mean[..., 0] + sd * zs[:, t]
         out.append(y_t)
         xs = full_x
         ys = jnp.concatenate([ys, y_t[:, None]], -1)
@@ -459,8 +471,13 @@ def nonvol_rollouts(key, model, train_x, train_y, test_x, nsample: int = 50):
     return _nonvol_scan(key, model, jnp.asarray(test_x), int(nsample))
 
 
-def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50):
-    """Dense per-step restatement of the reference loop (test oracle)."""
+def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50, zs=None):
+    """Dense per-step restatement of the reference loop (test oracle).
+
+    ``zs`` (S, H) optionally pins the per-step standard normals for
+    common-random-number parity against :func:`nonvol_rollouts` (which
+    draws ``normal(key, (H, S))`` — pass its transpose).
+    """
     mean_mod = model.module.mean
     mean_params = model.params["mean"]
     kern = model.module.kernel
@@ -484,8 +501,12 @@ def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50):
             m_test = mean_mod(mean_params, test_x[t][None])
         resid = ys - train_mean
         cond_mean, cond_cov = conditional(k_tr, k_tr_te, k_te, resid)
-        key, k_s = jax.random.split(key)
-        y_t = sample_mvn(k_s, cond_mean + m_test, cond_cov)[..., 0]
+        if zs is None:
+            key, k_s = jax.random.split(key)
+            y_t = sample_mvn(k_s, cond_mean + m_test, cond_cov)[..., 0]
+        else:
+            sd = jnp.sqrt(jnp.maximum(cond_cov[..., 0, 0], 0.0))
+            y_t = (cond_mean + m_test)[..., 0] + sd * zs[:, t]
         out.append(y_t)
         xs = jnp.concatenate([xs, test_x[t][None]], -1)
         ys = jnp.concatenate([ys, y_t[:, None]], -1)
