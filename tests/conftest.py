@@ -39,3 +39,30 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(2019)
+
+
+@pytest.fixture(scope="session")
+def std_fitted():
+    """Standard fitted pipeline shared across test files.
+
+    One SABR series (N=72, seed 77) fitted once per session with the
+    standard smoke iteration budget (gpcv 60, vol 60, ewma-k20 magpie 40).
+    Sharing the exact (shape, iters, config) tuple means every consumer
+    reuses both the compiled programs and the fit itself — the single
+    biggest suite wall-time lever on this one-CPU image.
+    Returns (train_x, train_y, test_x, vol, vol_state, ewma_model).
+    """
+    import jax.numpy as jnp
+    from volt_tpu.data import sabr_paths
+    from volt_tpu.train import learn_gpcv, train_vol_model, train_volt_magpie
+
+    n, h, dt = 72, 10, 1.0 / 252
+    f, _ = sabr_paths(steps=n + 1, seed=77)
+    train_y = jnp.asarray(f)
+    train_x = jnp.arange(n, dtype=jnp.float32) * dt
+    test_x = jnp.arange(h, dtype=jnp.float32) * dt + train_x[-1] + dt
+    vol = learn_gpcv(train_x, train_y, train_iters=60)
+    vol_state = train_vol_model(train_x, vol, train_iters=60)
+    model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
+                              train_iters=40, k=20, mean_func="ewma")
+    return train_x, train_y, test_x, vol, vol_state, model

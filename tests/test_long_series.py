@@ -101,10 +101,10 @@ class TestLongSeries:
         vol = jnp.asarray((0.15 + 0.1 * rng.random(N_LONG)).astype(np.float32))
         bm = BMGP()
         vol_state = bm.fit_state(bm.init(), train_x, jnp.log(vol))
-        volt = VoltGP(mean=make_mean("ewma", k=400))
+        volt = VoltGP(mean=make_mean("ewma", k=200))
         model = volt.fit_state(volt.init(), train_x,
                                jnp.log(prices[1:]), vol, vol_state)
-        h = 500
+        h = 250
         test_x = jnp.arange(h, dtype=jnp.float32) * DT + train_x[-1] + DT
         s = rollouts(jax.random.key(0), model, train_x, prices, test_x,
                      nsample=16)

@@ -22,27 +22,23 @@ from volt_tpu.rollouts import (
 )
 
 
-N = 120          # small grid keeps the dense O(n^3) oracle cheap
-HORIZON = 12
+# Shape and fit budget shared with conftest.std_fitted (one fit per
+# session, compiled programs reused across files).
+N = 72
+HORIZON = 10
 DT = 1.0 / 252
 
 
 @pytest.fixture(scope="module")
-def sde():
-    f, v = sabr_paths(steps=N + 1, seed=2019)
-    train_y = jnp.asarray(f)                      # prices, length N+1
-    train_x = jnp.arange(N, dtype=jnp.float32) * DT
-    test_x = jnp.arange(HORIZON, dtype=jnp.float32) * DT + train_x[-1] + DT
+def sde(std_fitted):
+    train_x, train_y, test_x, _, _, _ = std_fitted
+    _, v = sabr_paths(steps=N + 1, seed=77)       # true latent vol path
     return train_x, train_y, test_x, v
 
 
 @pytest.fixture(scope="module")
-def fitted(sde):
-    train_x, train_y, test_x, _ = sde
-    vol = learn_gpcv(train_x, train_y, train_iters=100)
-    vol_state = train_vol_model(train_x, vol, train_iters=100)
-    model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
-                              train_iters=50, k=25, mean_func="ewma")
+def fitted(std_fitted):
+    _, _, _, vol, vol_state, model = std_fitted
     return vol, vol_state, model
 
 
@@ -54,9 +50,11 @@ class TestGPCV:
         vol = np.asarray(learn_gpcv(train_x, train_y, train_iters=300))
         assert vol.shape == (N,)
         assert np.isfinite(vol).all() and (vol > 0).all()
-        # compare medians within a factor ~2.5 of the truth
+        # order-of-magnitude recovery on the short 72-point series (the
+        # strict quality pin — rel err < 0.30, corr > 0.80 at the
+        # reference's own 400-step config — is TestNotebookConfigRecovery)
         ratio = np.median(vol) / np.median(v_true[1:])
-        assert 0.4 < ratio < 2.5, ratio
+        assert 0.3 < ratio < 3.5, ratio
 
     def test_elbo_improves(self, sde):
         train_x, train_y, _, _ = sde
@@ -90,12 +88,12 @@ class TestVolModel:
 
 
 class TestDataModel:
-    def test_magpie_loss_improves(self, sde):
+    def test_magpie_loss_improves(self, sde, fitted):
         train_x, train_y, _, _ = sde
         from volt_tpu.models.volt import VoltGP, make_mean
         from volt_tpu.train import _fit_volt
 
-        vol = learn_gpcv(train_x, train_y, train_iters=50)
+        vol, _, _ = fitted
         module = VoltGP(mean=make_mean("ewma", k=25))
         params = module.init()
         log_y = jnp.log(train_y[1:])
@@ -113,10 +111,9 @@ class TestDataModel:
                                                 model.train_x, model.train_y))
         assert fast == pytest.approx(direct, rel=1e-3)
 
-    def test_loglinear_data_model(self, sde):
+    def test_loglinear_data_model(self, sde, fitted):
         train_x, train_y, _, _ = sde
-        vol = learn_gpcv(train_x, train_y, train_iters=50)
-        vol_state = train_vol_model(train_x, vol, train_iters=50)
+        vol, vol_state, _ = fitted
         model = train_data_model(train_x, train_y[1:], vol_state, vol,
                                  train_iters=50)
         assert bool(jnp.all(jnp.isfinite(model.train_mean())))
@@ -173,10 +170,9 @@ class TestRolloutParity:
         assert samples.shape == (64, HORIZON)
         assert bool(jnp.all(jnp.isfinite(samples)))
 
-    def test_rollout_constant_mean(self, sde):
+    def test_rollout_constant_mean(self, sde, fitted):
         train_x, train_y, test_x, _ = sde
-        vol = learn_gpcv(train_x, train_y, train_iters=50)
-        vol_state = train_vol_model(train_x, vol, train_iters=50)
+        vol, vol_state, _ = fitted
         model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
                                   train_iters=50, mean_func="constant")
         samples = rollouts(jax.random.key(0), model, train_x, train_y,

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from volt_tpu.data import sabr_paths
 from volt_tpu.means import EWMAMean
 from volt_tpu.models.basic import SMGP
 from volt_tpu.rollouts import (
@@ -32,7 +31,7 @@ from volt_tpu.rollouts import (
     rollouts_dense,
     sample_vol_paths,
 )
-from volt_tpu.train import learn_gpcv, train_vol_model, train_volt_magpie
+from volt_tpu.train import train_volt_magpie
 
 N, H = 72, 10
 DT = 1.0 / 252
@@ -40,13 +39,8 @@ NSAMPLE = 64
 
 
 @pytest.fixture(scope="module")
-def base():
-    f, _ = sabr_paths(steps=N + 1, seed=77)
-    train_y = jnp.asarray(f)
-    train_x = jnp.arange(N, dtype=jnp.float32) * DT
-    test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
-    vol = learn_gpcv(train_x, train_y, train_iters=60)
-    vol_state = train_vol_model(train_x, vol, train_iters=60)
+def base(std_fitted):
+    train_x, train_y, test_x, vol, vol_state, _ = std_fitted
     return train_x, train_y, test_x, vol, vol_state
 
 

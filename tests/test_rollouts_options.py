@@ -12,7 +12,10 @@ from volt_tpu.rollouts import nonvol_rollouts, nonvol_rollouts_dense
 from volt_tpu.train import train_basic_model
 
 
-N, H = 80, 6
+# Shared grid shape with test_rollout_parity_full: the dense per-step
+# oracle compiles one program family per (S, n+t) shape, so matching
+# N/H/nsample across files lets the op cache absorb the whole loop.
+N, H = 72, 10
 DT = 1.0 / 252
 
 

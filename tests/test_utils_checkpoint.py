@@ -5,11 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from volt_tpu.data import sabr_paths
 from volt_tpu.data.wind import parse_uscrn_rows
 from volt_tpu.kernels import BMKernel, MaternKernel
 from volt_tpu.means import EWMAMean
-from volt_tpu.train import learn_gpcv, train_vol_model, train_volt_magpie
 from volt_tpu.utils.checkpoint import restore_volt_state, save_volt_state
 from volt_tpu.utils.profiling import timed
 
@@ -40,14 +38,10 @@ class TestConfigEq:
 
 
 class TestCheckpoint:
-    def test_volt_state_roundtrip(self, tmp_path):
-        f, _ = sabr_paths(steps=60, seed=5)
+    def test_volt_state_roundtrip(self, tmp_path, std_fitted):
+        train_x, train_y, _, vol, vol_state, model = std_fitted
+        f = np.asarray(train_y)
         dt = 1.0 / 252
-        train_x = jnp.arange(59, dtype=jnp.float32) * dt
-        vol = learn_gpcv(train_x, jnp.asarray(f), train_iters=15)
-        vol_state = train_vol_model(train_x, vol, train_iters=15)
-        model = train_volt_magpie(train_x, jnp.asarray(f[1:]), vol_state,
-                                  vol, train_iters=10, k=10)
 
         path = str(tmp_path / "ckpt")
         save_volt_state(path, model)
