@@ -76,6 +76,53 @@ class TestVolatilityLikelihood:
         lp = scipy.stats.norm.logpdf(np.asarray(y), 0.0, scale)
         np.testing.assert_allclose(got, lp.mean(0), atol=5e-3)
 
+    def test_analytic_ell_matches_gh75(self, rng):
+        # The closed-form exp-param ELL (lognormal moments) must agree
+        # with the reference's 75-node quadrature (train_utils.py:52) to
+        # float resolution away from the clamp regions — values AND
+        # gradients, across a realistic (mean, var) grid.
+        lh = L.VolatilityGaussianLikelihood(param="exp")
+        n = 64
+        y = jnp.asarray(0.5 * rng.standard_normal(n).astype(np.float32))
+        # realistic GPCV territory (log-vol of scaled returns): the f32
+        # quadrature's own summation noise grows as e^{-2 mean + 2 var},
+        # so extreme corners compare quadrature noise, not the math.
+        mean = jnp.asarray(
+            (-3.2 + 2.5 * rng.random(n)).astype(np.float32)
+        )
+        var = jnp.asarray((0.01 + 0.35 * rng.random(n)).astype(np.float32))
+
+        a = lh.expected_log_prob({}, y, mean, var)  # analytic default
+        q = lh.expected_log_prob({}, y, mean, var, method="quadrature")
+        # the residual is the QUADRATURE's float32 summation noise (GH-75
+        # in float64 matches the closed form to 1e-12)
+        np.testing.assert_allclose(a, q, rtol=5e-4, atol=2e-6)
+
+        def tot(fn):
+            def f(m, v):
+                return jnp.sum(fn(m, v))
+            return jax.grad(f, argnums=(0, 1))(mean, var)
+
+        ga = tot(lambda m, v: lh.expected_log_prob({}, y, m, v))
+        gq = tot(lambda m, v: lh.expected_log_prob({}, y, m, v,
+                                                   method="quadrature"))
+        for x1, x2, name in zip(ga, gq, ("dmean", "dvar")):
+            np.testing.assert_allclose(x1, x2, rtol=2e-3, atol=5e-5,
+                                       err_msg=name)
+
+        # overflow guard: huge variance stays finite in value and grad
+        big = lh.expected_log_prob({}, y, mean, jnp.full((n,), 60.0))
+        assert np.isfinite(np.asarray(big)).all()
+        g_big = jax.grad(
+            lambda v: jnp.sum(lh.expected_log_prob({}, y, mean, v))
+        )(jnp.full((n,), 60.0))
+        assert np.isfinite(np.asarray(g_big)).all()
+
+        with pytest.raises(ValueError, match="analytic"):
+            L.VolatilityGaussianLikelihood(param="cv").expected_log_prob(
+                {}, y, mean, var, method="analytic"
+            )
+
 
 class TestExactGP:
     def test_exact_mll_matches_scipy(self, rng):

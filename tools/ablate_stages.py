@@ -8,8 +8,14 @@ stalls — see CLAUDE.md).
 Usage:  python tools/ablate_stages.py [n_assets] [ntrain]
 """
 
+import os
 import sys
 import time
+
+# repo root on sys.path for `python tools/ablate_stages.py` — deliberately
+# NOT via PYTHONPATH, which the axon plugin's subprocess would inherit and
+# trip over (repo dirs shadow its imports).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -151,19 +151,37 @@ class VolatilityGaussianLikelihood(ConfigEq):
         return -0.5 * (y / s) ** 2 - jnp.log(s) - 0.5 * _LOG_2PI
 
     def expected_log_prob(self, params, y, mean, var,
-                          num_locs: int = DEFAULT_NUM_LOCS):
-        """``E_{f ~ N(mean, var)}[log p(y | f)]`` by GH quadrature.
+                          num_locs: int = DEFAULT_NUM_LOCS,
+                          method: str | None = None):
+        """``E_{f ~ N(mean, var)}[log p(y | f)]``.
 
-        Deliberately the XLA quadrature, NOT the Pallas kernel
-        (``ops/pallas/gh_ell.py``, which has fused forward+backward node
-        loops and matches this path bit-for-bit): measured on-chip at the
-        flagship shape (n=1000, B=64, tridiag GPCV) the pipeline runs
-        50.8/34.8 assets/sec/chip with the Pallas dispatch vs 56.7/42.3
-        without, across two paired trials — under the per-asset ``vmap``
-        the kernel receives ``(1, 512)`` blocks (1/8 sublane utilization)
-        and Mosaic compiles ~4x slower.  Revert-with-data per the round-1
-        review; details in PERFORMANCE.md.
+        For ``param="exp"`` the expectation is CLOSED FORM (lognormal
+        moments: ``E[e^{-2f}] = e^{-2 mean + 2 var}``, ``E[f] = mean``):
+
+            ``ELL = -y^2/2 * e^{-2 mean + 2 var} - mean - log(2 pi)/2``
+
+        — exact where the reference's 75-node Gauss–Hermite quadrature
+        (``train_utils.py:52``) approximates, and free of the quadrature's
+        VPU-transcendental cost (75 ``exp`` evals per datum per ELBO step;
+        measured at the quadrature's roofline ~0.38 ms/step at B=64,
+        n=1000 for either the XLA or the Pallas node loop — the entire
+        term now costs one ``exp``).  Differences from GH-75 are below
+        float32 resolution except in the clamp regions (``scale >= 1e-3``,
+        ``f <= 80``), which no sanely-initialized fit enters; the exponent
+        is capped at 80 for the same overflow robustness as the
+        quadrature path.  ``method="quadrature"`` forces GH (used by the
+        parity tests and any clamp-sensitive caller); ``"cv"`` has no
+        closed form and always uses GH.
         """
+        if method is None:
+            method = "analytic" if self.param == "exp" else "quadrature"
+        if method == "analytic":
+            if self.param != "exp":
+                raise ValueError(
+                    "analytic expected_log_prob exists only for param='exp'"
+                )
+            e = jnp.exp(jnp.clip(-2.0 * mean + 2.0 * var, max=80.0))
+            return -0.5 * y * y * e - mean - 0.5 * _LOG_2PI
         return expected_value(
             lambda f: self.log_prob(params, y, f), mean, var, num_locs
         )

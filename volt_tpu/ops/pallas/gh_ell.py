@@ -18,9 +18,10 @@ training loop.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
+import jax.custom_batching
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -159,12 +160,61 @@ def _gh_ell_bwd_padded(y, mu, s2, g, num_locs: int, interpret: bool):
     )(y, mu, s2, g, locs, w)
 
 
+def _collapse_rule(inner, n_out: int):
+    """custom_vmap rule: fold the vmap axis into the sublane (row) axis.
+
+    The stock pallas_call batching rule adds the batch as a grid
+    dimension, handing the kernel ``(1, TILE)`` blocks under a per-asset
+    ``vmap`` — 1/8 sublane utilization (the round-1 revert-with-data).
+    Rows are independent here, so the batch can instead be collapsed into
+    the row axis: one kernel launch on ``(B*b, n)`` with full ``(8, 128)``
+    tiles.
+    """
+
+    def rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+            for a, b in zip(args, in_batched)
+        ]
+        n = args[0].shape[-1]
+        flat = [a.reshape(-1, n) for a in args]
+        out = inner(*flat)
+        if n_out == 1:
+            return out.reshape(axis_size, -1, n), True
+        return (
+            tuple(o.reshape(axis_size, -1, n) for o in out),
+            (True,) * n_out,
+        )
+
+    return rule
+
+
+@lru_cache(maxsize=None)
+def _fwd_call(num_locs: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(y, mu, s2):
+        return _gh_ell_fwd_padded(y, mu, s2, num_locs, interpret)
+
+    f.def_vmap(_collapse_rule(f, n_out=1))
+    return f
+
+
+@lru_cache(maxsize=None)
+def _bwd_call(num_locs: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(y, mu, s2, g):
+        return _gh_ell_bwd_padded(y, mu, s2, g, num_locs, interpret)
+
+    f.def_vmap(_collapse_rule(f, n_out=3))
+    return f
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gh_ell_2d(y, mu, s2, num_locs: int, interpret: bool):
     n = y.shape[-1]
     n_pad = -(-n // _TILE) * _TILE
     y2, mu2, s22 = _pad((y, mu, s2), n, n_pad, var_idx=2)
-    return _gh_ell_fwd_padded(y2, mu2, s22, num_locs, interpret)[:, :n]
+    return _fwd_call(num_locs, interpret)(y2, mu2, s22)[..., :n]
 
 
 def _gh_ell_2d_fwd(y, mu, s2, num_locs, interpret):
@@ -176,8 +226,8 @@ def _gh_ell_2d_bwd(num_locs, interpret, res, g):
     n = y.shape[-1]
     n_pad = -(-n // _TILE) * _TILE
     y2, mu2, s22, g2 = _pad((y, mu, s2, g), n, n_pad, var_idx=2)
-    dy, dmu, ds2 = _gh_ell_bwd_padded(y2, mu2, s22, g2, num_locs, interpret)
-    return dy[:, :n], dmu[:, :n], ds2[:, :n]
+    dy, dmu, ds2 = _bwd_call(num_locs, interpret)(y2, mu2, s22, g2)
+    return dy[..., :n], dmu[..., :n], ds2[..., :n]
 
 
 _gh_ell_2d.defvjp(_gh_ell_2d_fwd, _gh_ell_2d_bwd)
