@@ -166,3 +166,71 @@ class TestBMGPKalman:
         dense = float(module.mll(params, x, y))
         assert np.isfinite(kf)
         assert kf == pytest.approx(dense, rel=1e-3)
+
+
+class TestSpectralVolMLL:
+    """Closed-form min(x) eigensystem vs the Kalman scan and dense MLL."""
+
+    @pytest.mark.parametrize("n,x0", [(50, 0.0), (50, 1.0 / 252),
+                                      (400, 0.0), (400, 1.0 / 252)])
+    def test_matches_kalman_and_dense(self, rng, n, x0):
+        from volt_tpu.models.bmgp import BMGP
+
+        dt = 1.0 / 252
+        x = jnp.asarray((x0 + np.arange(n) * dt).astype(np.float32))
+        y = jnp.asarray(
+            (np.log(0.2) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        )
+        bm = BMGP()
+        params = jax.tree.map(lambda a: a + 0.3, bm.init())
+        m_s = float(bm.mll_spectral(params, bm.spectral_cache(x, y)))
+        m_k = float(bm.mll_kalman(params, x, y))
+        m_d = float(bm.mll(params, x, y))
+        assert m_s == pytest.approx(m_k, rel=2e-5)
+        assert m_s == pytest.approx(m_d, rel=2e-4)
+        g_s = jax.grad(
+            lambda p: bm.mll_spectral(p, bm.spectral_cache(x, y))
+        )(params)
+        g_k = jax.grad(lambda p: bm.mll_kalman(p, x, y))(params)
+        for path in (("kernel", "raw_vol"), ("likelihood", "raw_noise")):
+            a = float(g_s[path[0]][path[1]][0])
+            b = float(g_k[path[0]][path[1]][0])
+            assert a == pytest.approx(b, rel=2e-3, abs=1e-5), path
+
+    def test_pipeline_rejects_irregular_grid(self):
+        from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(np.cumsum(0.001 + 0.004 * rng.random(40))
+                        .astype(np.float32))
+        ys = jnp.asarray(
+            (50.0 + rng.random((2, 41))).astype(np.float32)
+        )
+        tx = x[-1] + jnp.arange(1, 4, dtype=jnp.float32) / 252
+        cfg = PipelineConfig(gpcv_iters=5, vol_iters=5, data_iters=5,
+                             k=10, nsample=4)
+        with pytest.raises(ValueError, match="vol_mll"):
+            fit_forecast_batch(jax.random.key(0), x, ys, tx, cfg)
+        # the kalman path accepts any grid
+        s, _ = fit_forecast_batch(jax.random.key(0), x, ys, tx,
+                                  PipelineConfig(gpcv_iters=5, vol_iters=5,
+                                                 data_iters=5, k=10,
+                                                 nsample=4,
+                                                 vol_mll="kalman"))
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_train_vol_model_auto_selects(self, rng):
+        # equispaced and irregular grids both produce a usable fit via
+        # train_vol_model's host-side dispatch
+        from volt_tpu.train import train_vol_model
+
+        n = 60
+        vol = jnp.asarray((0.2 + 0.05 * rng.random(n)).astype(np.float32))
+        for x in (
+            jnp.arange(n, dtype=jnp.float32) / 252,
+            jnp.asarray(np.cumsum(0.002 + 0.004 * rng.random(n))
+                        .astype(np.float32)),
+        ):
+            st = train_vol_model(x, vol, train_iters=30)
+            mean, cov = st.posterior(x[-1:] + 1.0 / 252)
+            assert np.isfinite(float(mean[0])) and float(cov[0, 0]) > 0

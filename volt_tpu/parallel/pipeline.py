@@ -55,6 +55,11 @@ class PipelineConfig:
     # contains the full-rank optimum for the BM prior) or "full" (the
     # reference's dense n x n Cholesky).  See models/gpcv.py.
     gpcv_q: str = "tridiag"
+    # vol-GP MLL path: "spectral" (closed-form min(x) eigensystem,
+    # elementwise O(n)/step — REQUIRES an equispaced train_x, which
+    # fit_forecast_batch validates when the grid is concrete) or
+    # "kalman" (O(n) sequential scan, any grid).
+    vol_mll: str = "spectral"
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -78,10 +83,15 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     )
     vol = gpcv.predicted_scale(gpcv_params, train_x)
 
-    # ---- stage 2: vol GP (O(n) Kalman MLL per Adam step) ------------------
+    # ---- stage 2: vol GP (factorization-free MLL per Adam step) -----------
     log_vol = jnp.log(vol)
     bm = BMGP(kernel=config.kernel)
-    if config.kernel == "bm":
+    if config.kernel == "bm" and config.vol_mll == "spectral":
+        # closed-form min(x) eigensystem (equispaced grids): two basis
+        # projections per fit, elementwise O(n) per step, no scan.
+        vol_cache = bm.spectral_cache(train_x, log_vol)
+        vol_loss_fn = lambda p: -bm.mll_spectral(p, vol_cache)
+    elif config.kernel == "bm":
         vol_loss_fn = lambda p: -bm.mll_kalman(p, train_x, log_vol)
     else:
         vol_loss_fn = lambda p: -bm.mll(p, train_x, log_vol)
@@ -176,6 +186,20 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
     with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``.
     """
     train_ys = jnp.asarray(train_ys)
+    if config.vol_mll == "spectral" and config.kernel == "bm":
+        from ..train import _is_equispaced
+
+        try:
+            concrete = not isinstance(
+                jnp.asarray(train_x), jax.core.Tracer
+            )
+        except Exception:
+            concrete = False
+        if concrete and not _is_equispaced(train_x):
+            raise ValueError(
+                "vol_mll='spectral' requires an equispaced train_x; use "
+                "PipelineConfig(vol_mll='kalman') for irregular grids"
+            )
     if mesh is None:
         return jax.jit(_batched, static_argnames=("config",))(
             key, train_x, train_ys, test_x, config

@@ -233,16 +233,39 @@ def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
-def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr):
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr",
+                                   "equispaced"))
+def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr,
+              equispaced: bool = False):
     from .kernels import BMKernel
 
     if isinstance(module.kernel, BMKernel):
-        # O(n) Kalman-filter MLL per Adam step; no factorization at all.
-        loss = lambda p: -module.mll_kalman(p, train_x, log_vol)
+        if equispaced:
+            # closed-form min(x) eigensystem: the whole fit performs two
+            # basis projections, then every MLL+grad step is elementwise
+            # O(n) with no sequential scan (models/bmgp.py).
+            cache = module.spectral_cache(train_x, log_vol)
+            loss = lambda p: -module.mll_spectral(p, cache)
+        else:
+            # O(n) Kalman-filter MLL per Adam step; no factorization.
+            loss = lambda p: -module.mll_kalman(p, train_x, log_vol)
     else:
         loss = lambda p: -module.mll(p, train_x, log_vol)
     return _adam_scan(loss, params, train_iters, lr)
+
+
+def _is_equispaced(x) -> bool:
+    """Host-side check (concrete arrays only) for a uniform grid."""
+    import numpy as np
+
+    try:
+        xv = np.asarray(x)
+    except Exception:
+        return False
+    if xv.ndim != 1 or xv.shape[0] < 3:
+        return xv.ndim == 1
+    d = np.diff(xv)
+    return bool(np.all(np.abs(d - d[0]) <= 1e-4 * max(abs(float(d[0])), 1e-12)))
 
 
 def train_vol_model(train_x, vol_path, train_iters: int = 1000,
@@ -254,7 +277,7 @@ def train_vol_model(train_x, vol_path, train_iters: int = 1000,
     module = BMGP(kernel=kernel)
     params = module.init()
     params, losses = _fit_bmgp(module, params, train_x, log_vol, train_iters,
-                               lr)
+                               lr, equispaced=_is_equispaced(train_x))
     if printing:
         for i in range(0, train_iters, 50):
             print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
