@@ -262,3 +262,59 @@ class TestMultitaskVariationalGP:
                                    rtol=2e-3, atol=2e-4)
         evals = np.linalg.eigvalsh(np.asarray(cov, np.float64))
         assert evals.min() > -1e-4
+
+
+class TestMultitaskSpectralMLL:
+    """mll_spectral (closed-form data spectrum, T x T blocks) vs mll
+    (per-step eigh) on equispaced grids, incl. the degenerate init."""
+
+    @pytest.mark.parametrize("x0_steps", [0, 1, 3])
+    def test_matches_eigh_mll(self, rng, x0_steps):
+        n, t = 30, 4
+        dt = 1.0 / 252
+        x = jnp.asarray((x0_steps * dt + np.arange(n) * dt)
+                        .astype(np.float32))
+        y = jnp.asarray(
+            np.log(0.2 + 0.05 * rng.random((n, t))).astype(np.float32)
+        )
+        module = MultitaskBMGP(num_tasks=t)
+        params = module.init()  # born-degenerate task covariance
+        cache = module.spectral_cache(x, y)
+        m_s = float(module.mll_spectral(params, cache, n, t))
+        m_e = float(module.mll(params, x, y))
+        assert m_s == pytest.approx(m_e, rel=2e-5)
+        # gradients agree with the hand-written kron VJP, and stay
+        # finite at the degenerate point
+        g_s = jax.grad(
+            lambda p: -module.mll_spectral(p, cache, n, t)
+        )(params)
+        g_e = jax.grad(lambda p: -module.mll(p, x, y))(params)
+        for leaf_s, leaf_e in zip(jax.tree.leaves(g_s),
+                                  jax.tree.leaves(g_e)):
+            assert bool(jnp.isfinite(leaf_s).all())
+            np.testing.assert_allclose(leaf_s, leaf_e, rtol=2e-3,
+                                       atol=1e-5)
+
+    def test_training_paths_equivalent(self, rng):
+        # train_volt_multitask's spectral fast path must land at the same
+        # fit as the eigh path on the same data
+        from volt_tpu.train import _adam_scan
+
+        n, t = 40, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        y = jnp.asarray(
+            np.log(0.2 + 0.05 * rng.random((n, t))).astype(np.float32)
+        )
+        mt = MultitaskBMGP(num_tasks=t)
+        cache = mt.spectral_cache(x, y)
+        p_s, l_s = _adam_scan(
+            lambda q: -mt.mll_spectral(q, cache, n, t), mt.init(), 60, 0.01
+        )
+        p_e, l_e = _adam_scan(lambda q: -mt.mll(q, x, y), mt.init(), 60,
+                              0.01)
+        np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_e),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            p_s["data_kernel"]["raw_vol"], p_e["data_kernel"]["raw_vol"],
+            rtol=1e-3,
+        )

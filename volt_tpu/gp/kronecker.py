@@ -22,7 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.chol import psd_safe_cholesky, solve_lower_triangular
+from ..ops.chol import cholesky_solve, psd_safe_cholesky, solve_lower_triangular
 
 __all__ = [
     "kron_mvn_log_prob",
@@ -126,6 +126,59 @@ def _kron_mvn_log_prob_bwd(res, g):
 
 
 kron_mvn_log_prob.defvjp(_kron_mvn_log_prob_fwd, _kron_mvn_log_prob_bwd)
+
+
+def kron_mvn_log_prob_blockdiag(r_tilde, ld, c, k_task, noise, w):
+    """Kronecker MLL with a *known* data-side eigenbasis — no ``eigh``.
+
+    For ``Sigma = (c 11^T + A) (x) K_t + s I`` where ``A`` has eigenpairs
+    ``(ld, U)``: rotating only the data side with ``U (x) I_T`` gives
+
+        ``Sigma~ = blockdiag_i(ld_i K_t + s I_T) + c (w w^T) (x) K_t``,
+
+    ``w = U^T 1``.  The block part is N independent T x T SPD systems
+    (batched Cholesky); the rank-T coupling is a Woodbury correction with
+    one T x T solve.  Everything is stock-differentiable — in particular
+    no ``eigh(K_t)``, whose autodiff divides by eigenvalue gaps and NaNs
+    on the IndexKernel's born-degenerate task covariance (the reason
+    :func:`kron_mvn_log_prob` needs a hand-written VJP).
+
+    Args: ``r_tilde`` (..., N, T) = ``U^T (y - mean)``; ``ld`` (..., N);
+    ``c`` scalar (may be 0 or negative); ``k_task`` (..., T, T); ``noise``
+    scalar; ``w`` (..., N).  Returns the log-density (unnormalized by
+    count — same convention as :func:`kron_mvn_log_prob`).
+    """
+    n, t = r_tilde.shape[-2], r_tilde.shape[-1]
+    eye_t = jnp.eye(t, dtype=r_tilde.dtype)
+    blocks = (
+        ld[..., :, None, None] * k_task[..., None, :, :]
+        + noise * eye_t
+    )
+    chol = psd_safe_cholesky(blocks)  # (..., N, T, T)
+    z = cholesky_solve(chol, r_tilde[..., None])[..., 0]  # (..., N, T)
+    inv_blocks = cholesky_solve(
+        chol, jnp.broadcast_to(eye_t, blocks.shape)
+    )
+    w2 = (w * w)[..., None, None]
+    s_mat = jnp.sum(w2 * inv_blocks, axis=-3)            # V^T B^{-1} V
+    v = jnp.sum(w[..., None] * z, axis=-2)               # V^T B^{-1} r
+
+    # Woodbury written so c = 0 degrades smoothly (no K_t^{-1}):
+    #   quad -= c v^T K_t (I + c S K_t)^{-1} v
+    #   logdet += slogdet(I + c S K_t)
+    m = eye_t + c * _mm(s_mat, k_task)
+    kv = jnp.einsum("...ab,...b->...a", k_task, v, precision=_HIGHEST)
+    corr = jnp.linalg.solve(m, kv[..., None])[..., 0]
+    quad = (
+        jnp.sum(r_tilde * z, axis=(-2, -1))
+        - c * jnp.sum(v * corr, axis=-1)
+    )
+    logdet_blocks = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=(-2, -1)
+    )
+    _, logdet_corr = jnp.linalg.slogdet(m)
+    logdet = logdet_blocks + logdet_corr
+    return -0.5 * (quad + logdet + n * t * _LOG_2PI)
 
 
 def kron_kl(mean_q, root_x, root_t, mean_p, k_data, k_task):

@@ -97,6 +97,57 @@ class MultitaskBMGP(ConfigEq):
         lp = kron_mvn_log_prob(y, self.mean(params, x), k_data, k_task, noise)
         return lp / (y.shape[-2] * y.shape[-1])
 
+    def spectral_cache(self, x, y):
+        """Closed-form data-side eigenbasis on an equispaced grid.
+
+        Same DST-like ``min(x)`` eigensystem as ``BMGP.spectral_cache``
+        (see there for the formulas); projects ``y`` (N, T) and ``x``
+        once so :meth:`mll_spectral` needs no ``eigh`` of the N x N data
+        kernel per Adam step.  BM kernel + equispaced ``x`` only
+        (validated by callers).
+        """
+        import math
+
+        n = x.shape[-1]
+        dx = x[..., 1] - x[..., 0]
+        x0 = x[..., 0]
+        k = jnp.arange(n)
+        mu = 1.0 / (
+            4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2
+        )
+        j = jnp.arange(1, n + 1)
+        prod = ((2 * k[None, :] + 1) * j[:, None]) % (2 * (2 * n + 1))
+        u = jnp.sin(prod * (math.pi / (2 * n + 1))) * (
+            2.0 / math.sqrt(2 * n + 1)
+        )
+        p_y = jnp.einsum("...jt,jk->...kt", y, u, precision=_HIGHEST)
+        p_x = jnp.einsum("...j,jk->...k", x, u, precision=_HIGHEST)
+        w = jnp.sum(u, axis=0)
+        return {"mu": mu, "dx": dx, "x0": x0, "p_y": p_y, "p_x": p_x,
+                "w": w}
+
+    def mll_spectral(self, params, cache, n, t):
+        """Exact multitask MLL / (N*T) with no factorization of the data
+        kernel: N batched T x T Cholesky blocks + a rank-T Woodbury
+        (:func:`volt_tpu.gp.kronecker.kron_mvn_log_prob_blockdiag`),
+        replacing the per-step ``eigh`` of the N x N kernel.  Pinned
+        against :meth:`mll` in tests."""
+        from ..gp.kronecker import kron_mvn_log_prob_blockdiag
+
+        vol = self.data_kernel.vol(params["data_kernel"])[..., 0]
+        k_task = self.task_covar(params)
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        diag_b = jnp.diagonal(k_task, axis1=-2, axis2=-1)
+        # U^T mean = (-0.5 vol^2 p_x) outer diag(B)
+        r_tilde = cache["p_y"] + (
+            0.5 * vol**2.0 * cache["p_x"]
+        )[..., :, None] * diag_b[..., None, :]
+        ld = vol * cache["dx"] * cache["mu"]
+        c = vol * (cache["x0"] - cache["dx"])
+        lp = kron_mvn_log_prob_blockdiag(r_tilde, ld, c, k_task, noise,
+                                         cache["w"])
+        return lp / (n * t)
+
     def posterior(self, params, train_x, train_y, test_x):
         k_tr = self.data_kernel(params["data_kernel"], train_x)
         k_cross = self.data_kernel(params["data_kernel"], train_x, test_x)

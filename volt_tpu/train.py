@@ -452,11 +452,24 @@ def train_volt_multitask(train_x, train_ys, vol_paths, train_iters: int = 400,
 
     mt = MultitaskBMGP(num_tasks=num_tasks, rank=rank)
     log_vols_nt = jnp.log(vol_paths).T  # (n, T)
-    mt_params, mt_losses = jax.jit(
-        lambda p: _adam_scan(
-            lambda q: -mt.mll(q, train_x, log_vols_nt), p, vol_iters, vol_lr
-        )
-    )(mt.init(key=key))
+    n = log_vols_nt.shape[-2]
+    if _is_equispaced(train_x):
+        # factorization-free: closed-form data spectrum + T x T blocks
+        # (models/multitask.py mll_spectral) instead of an N x N eigh
+        # per Adam step.
+        def _mt_fit(p):
+            cache = mt.spectral_cache(train_x, log_vols_nt)
+            return _adam_scan(
+                lambda q: -mt.mll_spectral(q, cache, n, num_tasks),
+                p, vol_iters, vol_lr,
+            )
+    else:
+        def _mt_fit(p):
+            return _adam_scan(
+                lambda q: -mt.mll(q, train_x, log_vols_nt), p, vol_iters,
+                vol_lr,
+            )
+    mt_params, mt_losses = jax.jit(_mt_fit)(mt.init(key=key))
     mt_state = mt.fit_state(mt_params, train_x, log_vols_nt)
 
     volt_state = VoltState(
