@@ -1,0 +1,52 @@
+"""Sequence-length scaling of the full pipeline at batch B on one chip.
+
+python tools/scaling_study.py  ->  markdown rows for BENCH_SCALING.md
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from volt_tpu.data import sabr_paths
+    from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
+
+    b = int(os.environ.get("SCALE_ASSETS", "16"))
+    cfg = PipelineConfig(gpcv_iters=300, vol_iters=300, data_iters=300,
+                         mean_func="ewma", k=100, nsample=1000)
+    dt = 1.0 / 252
+    for ntrain in (400, 1000, 2000, 4000, 8000):
+        n = ntrain - 1
+        f, _ = sabr_paths(steps=ntrain, seed=0, n_paths=b)
+        train_x = jnp.arange(n, dtype=jnp.float32) * dt
+        test_x = jnp.arange(100, dtype=jnp.float32) * dt + train_x[-1] + dt
+        ys = jnp.asarray(f)
+
+        def run():
+            s, _ = fit_forecast_batch(jax.random.key(0), train_x, ys,
+                                      test_x, cfg)
+            got = jax.device_get(s)
+            assert np.isfinite(got).all(), ntrain
+            return got
+
+        run()  # warm/compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        print(f"| {ntrain} | {best:.3f} | {b / best:.1f} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,16 +117,23 @@ def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
 
 def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False,
                kernel: str = "bm", lr: float = 0.01, return_model: bool = False,
-               key=None, mc_scale_samples=None, q: str = "full"):
+               key=None, mc_scale_samples=None, q: str | None = None):
     """Infer the volatility path from prices.  Returns ``pred_scale``
     (and the fitted :class:`GPCVState` when ``return_model=True`` — the
     reference's ``return_model`` call site was broken; fixed by design,
     SURVEY.md preamble).
 
-    ``q="full"`` keeps the reference's dense variational covariance;
-    ``q="tridiag"`` selects the O(n) tridiagonal-precision family (the
-    batched pipeline's default — see ``models/gpcv.py``).
+    ``q`` selects the variational family: ``"tridiag"`` (the default for
+    the BM kernel, matching the batched pipeline) is the O(n)
+    tridiagonal-precision family — it contains the dense family's
+    optimum exactly, trains 4-5x faster at n~1000, and does not share
+    the full-rank init's divergence on edge assets (PERFORMANCE.md);
+    ``q="full"`` keeps the reference's dense n x n variational
+    covariance for strict trajectory parity.  FBM requires ``"full"``
+    (no Markov prior).
     """
+    if q is None:
+        q = "tridiag" if kernel == "bm" else "full"
     train_x = jnp.asarray(train_x)
     yy = scaled_returns(train_x, train_y)
     module = GPCVModel(kernel=kernel, q=q)
@@ -255,7 +262,15 @@ def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr,
 
 
 def _is_equispaced(x) -> bool:
-    """Host-side check (concrete arrays only) for a uniform grid."""
+    """Host-side check (concrete arrays only) for a uniform grid.
+
+    Tolerance 1e-2 relative: a conceptually uniform ``arange(n) * dt``
+    grid accumulates float32 rounding in its diffs (~1e-3 relative by
+    n ~ 8000) and must still qualify — the spectral paths then treat it
+    as exactly uniform, which is the intended model; genuinely irregular
+    grids (e.g. calendar days with weekend gaps, diffs varying ~3x) are
+    far outside this band.
+    """
     import numpy as np
 
     try:
@@ -264,8 +279,9 @@ def _is_equispaced(x) -> bool:
         return False
     if xv.ndim != 1 or xv.shape[0] < 3:
         return xv.ndim == 1
-    d = np.diff(xv)
-    return bool(np.all(np.abs(d - d[0]) <= 1e-4 * max(abs(float(d[0])), 1e-12)))
+    d = np.diff(np.asarray(xv, np.float64))
+    med = float(np.median(d))
+    return bool(np.all(np.abs(d - med) <= 1e-2 * max(abs(med), 1e-12)))
 
 
 def train_vol_model(train_x, vol_path, train_iters: int = 1000,
