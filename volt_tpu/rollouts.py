@@ -144,12 +144,14 @@ def rollouts(key, model: VoltState, train_x, train_y, test_x,
             "non-volt rollouts live in volt_tpu.rollouts.nonvol_rollouts"
         )
     use_theta = theta is not None
+    dtype = model.train_y.dtype  # dtype-polymorphic (float64 mode works)
     latent_mean = (
-        jnp.mean(jnp.log(jnp.asarray(train_y))) if use_theta else jnp.float32(0)
+        jnp.mean(jnp.log(jnp.asarray(train_y, dtype)))
+        if use_theta else jnp.zeros((), dtype)
     )
     return _rollout_volt(key, model, latent_mean, jnp.asarray(test_x),
                          int(nsample), use_theta,
-                         jnp.float32(theta if use_theta else 0.0))
+                         jnp.asarray(theta if use_theta else 0.0, dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +210,11 @@ def generate_prediction(key, model: VoltState, test_x, pred_vol,
     conditional, computed in O(H) per path).
     """
     use_theta = latent_mean is not None
-    lm = jnp.asarray(latent_mean) if use_theta else jnp.float32(0)
+    dtype = model.train_y.dtype
+    lm = jnp.asarray(latent_mean, dtype) if use_theta else jnp.zeros((), dtype)
     return _generate_prediction(key, model, jnp.asarray(test_x),
                                 jnp.asarray(pred_vol), int(n_sample), lm,
-                                use_theta, jnp.float32(theta))
+                                use_theta, jnp.asarray(theta, dtype))
 
 
 def sample_prediction(key, model: VoltState, test_x, n_sample: int = 1,
@@ -545,7 +548,8 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
         latent = jnp.mean(jnp.log(jnp.asarray(train_ys)), axis=-1)
     else:
         latent = jnp.zeros((num_tasks,), volt_state.train_y.dtype)
-    theta_val = jnp.float32(theta if use_theta else 0.0)
+    theta_val = jnp.asarray(theta if use_theta else 0.0,
+                            volt_state.train_y.dtype)
 
     def one(task_state, lat, pv, z):
         return _rollout_volt_scan(task_state, lat, test_x, pv, z, use_theta,
