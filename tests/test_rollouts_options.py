@@ -92,6 +92,21 @@ class TestOptions:
         # monotone in strike
         assert (np.diff(grid, axis=0) <= 1e-6).all()
 
+    def test_put_call_parity(self, rng):
+        # On the SAME sampled paths, call - put = mean(S) - K exactly.
+        paths = rng.lognormal(0.0, 0.3, (4000, 3)).astype(np.float32)
+        strikes = jnp.asarray([0.7, 1.0, 1.4], jnp.float32)
+        calls = np.asarray(options.price_call_grid(jnp.asarray(paths),
+                                                   strikes))
+        puts = np.asarray(options.price_put_grid(jnp.asarray(paths),
+                                                 strikes))
+        fwd = paths.mean(0)[None, :]  # (1, n_exp)
+        np.testing.assert_allclose(calls - puts,
+                                   fwd - np.asarray(strikes)[:, None],
+                                   rtol=1e-5, atol=1e-5)
+        # puts increase with strike
+        assert (np.diff(puts, axis=0) >= -1e-6).all()
+
     def test_pricer_dataframe(self, rng):
         import pandas as pd
 
@@ -170,3 +185,40 @@ class TestOptionPricesVsBlackScholes:
                 assert got == pytest.approx(bs, rel=0.05, abs=0.05), (
                     t_idx, k, got, bs
                 )
+
+
+class TestFloat64Mode:
+    def test_rollout_runs_at_float64(self):
+        # The forecast path derives its scalar dtypes from the model
+        # state: a float64 state must produce float64 samples end-to-end.
+        from volt_tpu.models.bmgp import BMGP
+        from volt_tpu.models.volt import VoltGP
+        from volt_tpu.means import EWMAMean
+        from volt_tpu.rollouts import rollouts
+
+        with jax.enable_x64():
+            n, h = 40, 5
+            dt = 1.0 / 252
+            x = jnp.arange(n, dtype=jnp.float64) * dt
+            tx = jnp.arange(h, dtype=jnp.float64) * dt + x[-1] + dt
+            rng = np.random.default_rng(0)
+            prices = jnp.asarray(
+                100.0 * np.exp(np.cumsum(0.01 * rng.standard_normal(n + 1)))
+            )
+            vol = jnp.asarray(0.2 + 0.02 * rng.random(n))
+            bm = BMGP()
+            vol_state = bm.fit_state(
+                jax.tree.map(lambda a: jnp.asarray(a, jnp.float64),
+                             bm.init()),
+                x, jnp.log(vol),
+            )
+            volt = VoltGP(mean=EWMAMean(10))
+            params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64),
+                                  volt.init())
+            model = volt.fit_state(params, x, jnp.log(prices[1:]), vol,
+                                   vol_state)
+            s = rollouts(jax.random.key(0), model, x, prices, tx,
+                         nsample=8, theta=0.05)
+            assert s.dtype == jnp.float64
+            assert s.shape == (8, h)
+            assert bool(jnp.all(jnp.isfinite(s)))

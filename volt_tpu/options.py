@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "ecdf",
     "price_call_grid",
+    "price_put_grid",
     "pricer",
     "get_training_data",
     "get_true_value",
@@ -46,6 +47,19 @@ def price_call_grid(mc_pxs, strikes):
     per-row loop (``option_utils.py:28-40``).
     """
     payoff = jnp.maximum(mc_pxs[None, :, :] - strikes[:, None, None], 0.0)
+    return jnp.mean(payoff, axis=1)
+
+
+@jax.jit
+def price_put_grid(mc_pxs, strikes):
+    """MC put values ``mean(max(K - S, 0))`` over the same grid.
+
+    No reference analog (``option_utils.Pricer`` values calls only); puts
+    are the natural companion and are pinned to calls in tests through
+    put-call parity on the same sampled paths:
+    ``call - put = mean(S) - K`` exactly, path by path.
+    """
+    payoff = jnp.maximum(strikes[:, None, None] - mc_pxs[None, :, :], 0.0)
     return jnp.mean(payoff, axis=1)
 
 
