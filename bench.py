@@ -16,7 +16,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import sys
 import time
 
 import jax

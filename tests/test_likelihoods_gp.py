@@ -294,7 +294,6 @@ class TestWhitenedStrategy:
 
     def test_elbo_equivalence(self, rng):
         from volt_tpu.gp.variational import elbo_at_inducing_whitened
-        from volt_tpu.ops.chol import solve_lower_triangular
 
         x, kuu, prior, m, cq, y = self._setup(rng)
         lk = np.linalg.cholesky(np.asarray(kuu, np.float64))

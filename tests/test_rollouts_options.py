@@ -7,7 +7,7 @@ import pytest
 
 from volt_tpu import options
 from volt_tpu.data import sabr_paths
-from volt_tpu.means import EWMAMean, LogLinearMean
+from volt_tpu.means import EWMAMean
 from volt_tpu.rollouts import nonvol_rollouts, nonvol_rollouts_dense
 from volt_tpu.train import train_basic_model
 

@@ -8,9 +8,7 @@ cells 2-9; ``option_utils.py:48-51``).  These are the library versions.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["sample_percentiles", "calibration", "calibration_curve", "crps"]
 

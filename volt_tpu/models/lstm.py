@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Sequence
 
 import flax.linen as nn
 import flax.struct as struct
