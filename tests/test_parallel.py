@@ -44,6 +44,28 @@ class TestPipeline:
         assert bool(jnp.all(jnp.isfinite(samples)))
         assert aux["ok"].shape == (8,) and bool(jnp.all(aux["ok"]))
 
+    def test_fbm_kernel_config_resolves(self, batch_data):
+        # Regression: the tridiag/spectral BM-only defaults must downgrade
+        # for kernel="fbm" instead of raising at trace time.
+        train_x, ys, test_x = batch_data
+        cfg = PipelineConfig(gpcv_iters=5, vol_iters=5, data_iters=5,
+                             k=10, nsample=4, kernel="fbm")
+        samples, aux = fit_forecast(jax.random.key(0), train_x, ys[0],
+                                    test_x, cfg)
+        assert samples.shape == (4, H)
+        assert np.isfinite(np.asarray(samples)).all()
+
+    def test_fit_forecast_rejects_irregular_grid(self, batch_data):
+        # The single-asset entry point guards spectral grids too, not
+        # just the batch wrapper.
+        _, ys, test_x = batch_data
+        rng = np.random.default_rng(0)
+        bad_x = jnp.asarray(np.cumsum(0.001 + 0.004 * rng.random(N))
+                            .astype(np.float32))
+        with pytest.raises(ValueError, match="vol_mll"):
+            fit_forecast(jax.random.key(0), bad_x, ys[0],
+                         test_x, CFG)
+
     def test_per_asset_failure_isolation(self, batch_data):
         # The reference skips failed tickers with try/except
         # (LSTMGenerator.py:35,67-68); here a poisoned asset (non-positive
@@ -152,6 +174,38 @@ class TestMultihostInitialize:
         monkeypatch.setattr(jax.distributed, "initialize", boom)
         with pytest.raises(RuntimeError, match="misconfigured"):
             mesh_mod.multihost_initialize()
+
+    def test_partial_explicit_args_count(self, monkeypatch):
+        # num_processes/process_id alone must reach initialize, not be
+        # silently dropped by the explicit-arg detection.
+        from volt_tpu.parallel import mesh as mesh_mod
+
+        for v in mesh_mod._CLUSTER_ENV_VARS:
+            monkeypatch.delenv(v, raising=False)
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **k: calls.append(k))
+        monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+        assert mesh_mod.multihost_initialize(num_processes=4,
+                                             process_id=1) is True
+        assert calls[0]["num_processes"] == 4
+        assert calls[0]["process_id"] == 1
+
+    def test_force_detect_for_metadata_clusters(self, monkeypatch):
+        # GCE/GKE TPU pods advertise the cluster via the metadata server
+        # (no env vars); detect="force" hands off to JAX's own detectors.
+        from volt_tpu.parallel import mesh as mesh_mod
+
+        for v in mesh_mod._CLUSTER_ENV_VARS:
+            monkeypatch.delenv(v, raising=False)
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **k: calls.append(k))
+        monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+        assert mesh_mod.multihost_initialize(detect="force") is True
+        assert len(calls) == 1
+        with pytest.raises(ValueError, match="detect"):
+            mesh_mod.multihost_initialize(detect="nope")
 
 
 class TestDeterminism:

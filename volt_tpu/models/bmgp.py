@@ -119,26 +119,15 @@ class BMGP(ConfigEq):
         Kalman scan.  The ``x0`` offset is a rank-1 term handled by
         Sherman-Morrison.  Callers must ensure ``x`` is equispaced.
         """
-        import math
+        from ..ops.brownian import min_kernel_spectrum
 
         n = x.shape[-1]
         dx = x[..., 1] - x[..., 0]
         x0 = x[..., 0]
-        k = jnp.arange(n)
-        mu = 1.0 / (
-            4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2
-        )
-        # exact integer angle reduction keeps float32 sin accurate at
-        # large n (raw arguments reach ~2 n pi)
-        j = jnp.arange(1, n + 1)
-        prod = ((2 * k[None, :] + 1) * j[:, None]) % (2 * (2 * n + 1))
-        u = jnp.sin(prod * (math.pi / (2 * n + 1))) * (
-            2.0 / math.sqrt(2 * n + 1)
-        )
+        mu, u, w = min_kernel_spectrum(n, x.dtype)
         hp = jax.lax.Precision.HIGHEST
         p_y = jnp.einsum("...j,jk->...k", y, u, precision=hp)
         p_t = jnp.einsum("...j,jk->...k", x, u, precision=hp)
-        w = jnp.sum(u, axis=0)  # U^T 1 (the rank-1 offset direction)
         return {"mu": mu, "dx": dx, "x0": x0, "p_y": p_y, "p_t": p_t,
                 "w": w}
 

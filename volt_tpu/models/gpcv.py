@@ -303,8 +303,9 @@ class GPCVModel(ConfigEq):
         chol = psd_safe_cholesky(kuu)
         kuu_inv_kux = cholesky_solve(chol, kux)  # (..., n_u, n_x)
         diff = (m - prior_u)[..., None]
-        mean = (
-            jnp.swapaxes(kuu_inv_kux, -1, -2) @ diff
+        mean = jnp.matmul(
+            jnp.swapaxes(kuu_inv_kux, -1, -2), diff,
+            precision=jax.lax.Precision.HIGHEST,
         )[..., 0] + prior_x
         data_term = jnp.sum(kux * kuu_inv_kux, axis=-2)
         # ||L^{-1} b_j||^2 per column j gives diag(B^T S B).

@@ -106,23 +106,14 @@ class MultitaskBMGP(ConfigEq):
         kernel per Adam step.  BM kernel + equispaced ``x`` only
         (validated by callers).
         """
-        import math
+        from ..ops.brownian import min_kernel_spectrum
 
         n = x.shape[-1]
         dx = x[..., 1] - x[..., 0]
         x0 = x[..., 0]
-        k = jnp.arange(n)
-        mu = 1.0 / (
-            4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2
-        )
-        j = jnp.arange(1, n + 1)
-        prod = ((2 * k[None, :] + 1) * j[:, None]) % (2 * (2 * n + 1))
-        u = jnp.sin(prod * (math.pi / (2 * n + 1))) * (
-            2.0 / math.sqrt(2 * n + 1)
-        )
+        mu, u, w = min_kernel_spectrum(n, x.dtype)
         p_y = jnp.einsum("...jt,jk->...kt", y, u, precision=_HIGHEST)
         p_x = jnp.einsum("...j,jk->...k", x, u, precision=_HIGHEST)
-        w = jnp.sum(u, axis=0)
         return {"mu": mu, "dx": dx, "x0": x0, "p_y": p_y, "p_x": p_x,
                 "w": w}
 

@@ -32,9 +32,42 @@ __all__ = [
     "bm_solve_upper",
     "bm_logdet",
     "bm_kl_against_prior",
+    "min_kernel_spectrum",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+def min_kernel_spectrum(n: int, dtype=jnp.float32):
+    """Closed-form eigensystem of the 1-indexed integer min-matrix.
+
+    ``M[i, j] = min(i, j)`` (``i, j = 1..n``) has the exact DST-like
+    eigensystem
+
+        ``mu_k = 1 / (4 sin^2((2k+1) pi / (2(2n+1))))``
+        ``u_k[j] = 2/sqrt(2n+1) * sin((2k+1) j pi / (2n+1))``
+
+    so no factorization is ever needed on an equispaced grid
+    (``min(x_i, x_j) = (x0 - dx) 11^T + dx M`` for ``x_i = x0 + i dx``).
+    The sine arguments are reduced with *integer* modular arithmetic
+    (exact in int32 for n up to ~30k) so float32 ``sin`` stays accurate
+    at large ``n`` where the raw arguments reach ``~2 n pi``.
+
+    Returns ``(mu (n,), u (n, n) orthonormal columns, w (n,) = U^T 1)``.
+    Consumed by ``BMGP.spectral_cache`` and
+    ``MultitaskBMGP.spectral_cache``.
+    """
+    k = jnp.arange(n)
+    mu = 1.0 / (
+        4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2
+    )
+    j = jnp.arange(1, n + 1)
+    prod = ((2 * k[None, :] + 1) * j[:, None]) % (2 * (2 * n + 1))
+    u = jnp.sin(prod * (math.pi / (2 * n + 1))) * (
+        2.0 / math.sqrt(2 * n + 1)
+    )
+    return (jnp.asarray(mu, dtype), jnp.asarray(u, dtype),
+            jnp.sum(jnp.asarray(u, dtype), axis=0))
 
 
 def bm_increments(x):

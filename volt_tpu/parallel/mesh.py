@@ -53,29 +53,43 @@ _CLUSTER_ENV_VARS = (
 def multihost_initialize(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None,
+                         detect: str = "env",
                          **kwargs) -> bool:
     """Multi-host bring-up over DCN (``jax.distributed.initialize``).
 
     Contract (unit-tested in ``tests/test_parallel.py``):
 
-    * **single-process** — no explicit arguments and no recognized cluster
-      environment: returns ``False`` without touching the JAX runtime (the
-      common one-slice case; collectives inside the slice ride ICI and need
-      no process coordination);
-    * **multi-process** — explicit ``coordinator_address`` (or a launcher
-      environment JAX can auto-detect): calls
+    * **single-process** — no explicit arguments, ``detect="env"`` and no
+      recognized cluster environment variable: returns ``False`` without
+      touching the JAX runtime (the common one-slice case; collectives
+      inside the slice ride ICI and need no process coordination);
+    * **multi-process** — ANY explicit argument (``coordinator_address``,
+      ``num_processes``, ``process_id``, or extra kwargs), a recognized
+      launcher environment, or ``detect="force"``: calls
       ``jax.distributed.initialize`` and returns ``True``.  Errors
       propagate — a misconfigured cluster must fail loudly, not fall back
       to a silent single-process run;
+    * ``detect="force"`` exists because Cloud TPU pods launched via GCE /
+      GKE advertise the cluster through the metadata server, not
+      environment variables — JAX's own detectors find it, but this
+      function's env scan cannot; pass ``detect="force"`` (or any
+      explicit argument) on such pods;
     * idempotent — once initialization succeeded, later calls return
       ``False`` and do nothing.
     """
     global _DISTRIBUTED_INITIALIZED
+    if detect not in ("env", "force"):
+        raise ValueError("detect must be 'env' or 'force'")
     if _DISTRIBUTED_INITIALIZED:
         return False
-    explicit = coordinator_address is not None or kwargs
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or bool(kwargs)
+    )
     detected = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
-    if not explicit and not detected:
+    if not explicit and not detected and detect != "force":
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

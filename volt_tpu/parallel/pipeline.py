@@ -62,7 +62,39 @@ class PipelineConfig:
     vol_mll: str = "spectral"
 
 
-@partial(jax.jit, static_argnames=("config",))
+def _resolve_config(config: PipelineConfig) -> PipelineConfig:
+    """Downgrade BM-only defaults for non-BM kernels (mirrors
+    ``learn_gpcv``'s family auto-selection): the tridiagonal-precision q
+    and the spectral vol MLL both rely on the Markov min-kernel."""
+    if config.kernel != "bm":
+        repl = {}
+        if config.gpcv_q == "tridiag":
+            repl["gpcv_q"] = "full"
+        if config.vol_mll == "spectral":
+            repl["vol_mll"] = "kalman"
+        if repl:
+            config = dataclasses.replace(config, **repl)
+    return config
+
+
+def _check_spectral_grid(train_x, config: PipelineConfig):
+    """Host-side guard: the spectral vol path assumes an equispaced grid.
+    Only possible when ``train_x`` is concrete (skipped under tracing)."""
+    if config.vol_mll != "spectral" or config.kernel != "bm":
+        return
+    from ..train import _is_equispaced
+
+    try:
+        concrete = not isinstance(jnp.asarray(train_x), jax.core.Tracer)
+    except Exception:
+        concrete = False
+    if concrete and not _is_equispaced(train_x):
+        raise ValueError(
+            "vol_mll='spectral' requires an equispaced train_x; use "
+            "PipelineConfig(vol_mll='kalman') for irregular grids"
+        )
+
+
 def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     """Fit + forecast one asset.
 
@@ -70,6 +102,14 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     Returns ``(samples (nsample, H), aux)`` where ``aux`` carries the
     inferred vol path and fitted parameters.
     """
+    config = _resolve_config(config)
+    _check_spectral_grid(train_x, config)
+    return _fit_forecast_jit(key, train_x, train_y, test_x, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _fit_forecast_jit(key, train_x, train_y, test_x,
+                      config: PipelineConfig):
     k_lik, k_roll = jax.random.split(key)
 
     # ---- stage 1: GPCV ----------------------------------------------------
@@ -167,7 +207,7 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
 def _batched(key, train_x, train_ys, test_x, config: PipelineConfig):
     keys = jax.random.split(key, train_ys.shape[0])
     return jax.vmap(
-        lambda k, ty: fit_forecast(k, train_x, ty, test_x, config)
+        lambda k, ty: _fit_forecast_jit(k, train_x, ty, test_x, config)
     )(keys, train_ys)
 
 
@@ -186,20 +226,8 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
     with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``.
     """
     train_ys = jnp.asarray(train_ys)
-    if config.vol_mll == "spectral" and config.kernel == "bm":
-        from ..train import _is_equispaced
-
-        try:
-            concrete = not isinstance(
-                jnp.asarray(train_x), jax.core.Tracer
-            )
-        except Exception:
-            concrete = False
-        if concrete and not _is_equispaced(train_x):
-            raise ValueError(
-                "vol_mll='spectral' requires an equispaced train_x; use "
-                "PipelineConfig(vol_mll='kalman') for irregular grids"
-            )
+    config = _resolve_config(config)
+    _check_spectral_grid(train_x, config)
     if mesh is None:
         return jax.jit(_batched, static_argnames=("config",))(
             key, train_x, train_ys, test_x, config
