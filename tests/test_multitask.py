@@ -318,3 +318,60 @@ class TestMultitaskSpectralMLL:
             p_s["data_kernel"]["raw_vol"], p_e["data_kernel"]["raw_vol"],
             rtol=1e-3,
         )
+
+
+class TestKronKLBMPrior:
+    def test_matches_generic_kron_kl(self, rng):
+        # The diff-and-scale specialization vs the dense-Cholesky kron_kl
+        # on a nonsingular BM grid (x0 > 0: identical regularization).
+        from volt_tpu.gp.kronecker import kron_kl_bm_prior
+
+        n, t = 20, 3
+        dt = 1.0 / 252
+        x = jnp.asarray((dt + np.arange(n) * dt).astype(np.float32))
+        vol = jnp.asarray([0.31], jnp.float32)
+        kd = vol[0] * jnp.minimum(x[:, None], x[None, :])
+        kt = jnp.asarray(_psd(rng, t, 0.5).astype(np.float32))
+        rx = jnp.asarray(
+            np.linalg.cholesky(_psd(rng, n, 0.3)).astype(np.float32)
+        )
+        rt = jnp.asarray(
+            np.linalg.cholesky(_psd(rng, t, 0.3)).astype(np.float32)
+        )
+        mq = jnp.asarray(rng.standard_normal((n, t)).astype(np.float32))
+        mp = jnp.asarray(
+            0.1 * rng.standard_normal((n, t)).astype(np.float32)
+        )
+        dense = float(kron_kl(mq, rx, rt, mp, kd, kt))
+        fast = float(kron_kl_bm_prior(mq, rx, rt, mp, x, vol, kt))
+        assert fast == pytest.approx(dense, rel=2e-5)
+        # gradients flow (used inside the multitask GPCV training loop)
+        g = jax.grad(
+            lambda r: kron_kl_bm_prior(mq, r, rt, mp, x, vol, kt)
+        )(rx)
+        assert bool(jnp.isfinite(g).all())
+
+    def test_multitask_gpcv_elbo_unchanged(self, rng):
+        # kl_divergence's BM fast path must leave the trained ELBO
+        # trajectory where the dense path had it.
+        n, t = 40, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        returns = jnp.asarray(
+            (0.02 * rng.standard_normal((n, t))).astype(np.float32)
+        )
+        lik = VolatilityGaussianLikelihood(param="exp")
+        module = MultitaskVariationalGP(num_tasks=t)
+        params = module.init(x)
+        params = module.initialize_variational_parameters(params, lik, {},
+                                                          x, returns)
+        from volt_tpu.gp.kronecker import kron_kl
+
+        fast = float(module.kl_divergence(params, x))
+        kuu = module.data_kernel(params["data_kernel"], x)
+        dense = float(kron_kl(
+            params["variational_mean"], params["variational_covar_root"],
+            params["variational_task_covar_root"],
+            module.prior_mean(params, x), kuu,
+            module.index_kernel.covar_matrix(params["index_kernel"]),
+        ))
+        assert fast == pytest.approx(dense, rel=2e-4)

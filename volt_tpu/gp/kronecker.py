@@ -181,6 +181,60 @@ def kron_mvn_log_prob_blockdiag(r_tilde, ld, c, k_task, noise, w):
     return -0.5 * (quad + logdet + n * t * _LOG_2PI)
 
 
+def kron_kl_bm_prior(mean_q, root_x, root_t, mean_p, x, vol, k_task,
+                     jitter: float = 1e-6):
+    """:func:`kron_kl` specialized to a BM data prior — no N x N Cholesky.
+
+    For ``K_data = vol * min(x)`` the data-side Cholesky is the analytic
+    diff-and-scale operator (``ops/brownian.py``), so the KL's per-step
+    cost drops from O(n^3) (``psd_safe_cholesky`` of the data kernel
+    inside the training loop) to O(n^2) differencing of the variational
+    root's columns.  Same increment-domain jitter policy as
+    :func:`volt_tpu.ops.brownian.bm_kl_against_prior`; matches
+    :func:`kron_kl` on the same inputs (pinned in tests).
+    """
+    n, t = mean_q.shape[-2], mean_q.shape[-1]
+    vol0 = vol[..., 0] if (hasattr(vol, "ndim") and vol.ndim) else vol
+    dx = jnp.diff(x, axis=-1, prepend=jnp.zeros_like(x[..., :1]))
+    dx = jnp.maximum(dx, jitter / vol0)
+    sqrt_dx = jnp.sqrt(dx)
+
+    def data_solve_lower(b, axis=-1):
+        b = jnp.moveaxis(b, axis, -1)
+        out = jnp.diff(b, axis=-1, prepend=jnp.zeros_like(b[..., :1]))
+        return jnp.moveaxis(out / sqrt_dx, -1, axis)
+
+    rx = jnp.tril(root_x)
+    rt = jnp.tril(root_t)
+    lt = psd_safe_cholesky(k_task)
+
+    # trace term: tr(Kd^{-1} Sx) tr(Kt^{-1} St) with Kd = vol min(x)
+    ax = data_solve_lower(rx, axis=-2)
+    tr_x = jnp.sum(ax * ax, axis=(-2, -1)) / vol0
+    at = solve_lower_triangular(lt, rt)
+    tr_t = jnp.sum(at * at, axis=(-2, -1))
+    trace = tr_x * tr_t
+
+    # quadratic: || Ld^{-1} (m_p - m_q) Lt^{-T} ||_F^2 / vol
+    diff = mean_p - mean_q
+    half = data_solve_lower(diff, axis=-2)          # (N, T)
+    half = solve_lower_triangular(lt, jnp.swapaxes(half, -1, -2))
+    quad = jnp.sum(half * half, axis=(-2, -1)) / vol0
+
+    def _tri_logdet(tri):
+        return 2.0 * jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(tri, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+
+    logdet_p = (
+        t * (n * jnp.log(vol0) + jnp.sum(jnp.log(dx), axis=-1))
+        + n * _tri_logdet(lt)
+    )
+    logdet_q = t * _tri_logdet(rx) + n * _tri_logdet(rt)
+    return 0.5 * (trace + quad - n * t + logdet_p - logdet_q)
+
+
 def kron_kl(mean_q, root_x, root_t, mean_p, k_data, k_task):
     """``KL(N(vec(m_q), Sx (x) St) || N(vec(m_p), Kd (x) Kt))``.
 

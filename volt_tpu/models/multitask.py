@@ -225,9 +225,25 @@ class MultitaskVariationalGP(ConfigEq):
                                 (n, self.num_tasks))
 
     def kl_divergence(self, params, x):
-        """KL(q || p) with both sides Kronecker (reference ``:95-111``)."""
-        kuu = self.data_kernel(params["data_kernel"], x)
+        """KL(q || p) with both sides Kronecker (reference ``:95-111``).
+
+        BM data prior: the analytic diff-and-scale Cholesky replaces the
+        per-step N x N factorization (``kron_kl_bm_prior``, matching
+        ``kron_kl`` to float precision — pinned in tests)."""
         k_task = self.index_kernel.covar_matrix(params["index_kernel"])
+        if isinstance(self.data_kernel, BMKernel):
+            from ..gp.kronecker import kron_kl_bm_prior
+
+            return kron_kl_bm_prior(
+                params["variational_mean"],
+                params["variational_covar_root"],
+                params["variational_task_covar_root"],
+                self.prior_mean(params, x),
+                x,
+                self.data_kernel.vol(params["data_kernel"]),
+                k_task,
+            )
+        kuu = self.data_kernel(params["data_kernel"], x)
         return kron_kl(
             params["variational_mean"],
             params["variational_covar_root"],
