@@ -234,3 +234,49 @@ class TestSpectralVolMLL:
             st = train_vol_model(x, vol, train_iters=30)
             mean, cov = st.posterior(x[-1:] + 1.0 / 252)
             assert np.isfinite(float(mean[0])) and float(cov[0, 0]) > 0
+
+
+class TestForecastClosedForm:
+    """The filtered-state forecast posterior vs the dense joint posterior."""
+
+    @pytest.mark.parametrize("x0", [0.0, 1.0 / 252])
+    def test_posterior_forecast_matches_dense(self, rng, x0):
+        from volt_tpu.models.bmgp import BMGP
+
+        n, h = 60, 8
+        dt = 1.0 / 252
+        x = jnp.asarray((x0 + np.arange(n) * dt).astype(np.float32))
+        tx = x[-1] + dt * jnp.arange(1, h + 1, dtype=jnp.float32)
+        y = jnp.asarray(
+            (np.log(0.2) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        )
+        bm = BMGP()
+        params = jax.tree.map(lambda a: a + 0.3, bm.init())
+        m_fast, c_fast = bm.posterior_forecast(params, x, y, tx)
+        m_dense, c_dense = bm.posterior(params, x, y, tx)
+        np.testing.assert_allclose(m_fast, m_dense, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(c_fast, c_dense, rtol=2e-3, atol=1e-6)
+
+    def test_sample_forecast_moments(self, rng):
+        # Sampler moments must match the closed-form posterior.
+        from volt_tpu.models.bmgp import BMGP
+
+        n, h, s = 50, 5, 30_000
+        dt = 1.0 / 252
+        x = jnp.asarray(((np.arange(n) + 1.0) * dt).astype(np.float32))
+        tx = x[-1] + dt * jnp.arange(1, h + 1, dtype=jnp.float32)
+        y = jnp.asarray(
+            (np.log(0.25) + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        )
+        bm = BMGP()
+        params = bm.init()
+        draws = np.asarray(
+            bm.sample_forecast(jax.random.key(0), params, x, y, tx, (s,))
+        )
+        mean, cov = bm.posterior_forecast(params, x, y, tx)
+        np.testing.assert_allclose(draws.mean(0), np.asarray(mean),
+                                   atol=4 * float(jnp.sqrt(cov[-1, -1])) /
+                                   np.sqrt(s))
+        emp_cov = np.cov(draws.T)
+        np.testing.assert_allclose(emp_cov, np.asarray(cov), rtol=0.06,
+                                   atol=2e-6)

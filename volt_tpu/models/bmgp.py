@@ -39,6 +39,13 @@ class BMGPState:
         return self.module.sample(key, self.params, self.train_x,
                                   self.train_y, test_x, sample_shape)
 
+    def sample_forecast(self, key, test_x, sample_shape=()):
+        """O(n + S*H) joint posterior samples at strictly-future points
+        (BM kernel only; see ``BMGP.sample_forecast``)."""
+        return self.module.sample_forecast(key, self.params, self.train_x,
+                                           self.train_y, test_x,
+                                           sample_shape)
+
 
 class BMGP(ConfigEq):
     """Static configuration + pure functions for the vol GP."""
@@ -177,6 +184,61 @@ class BMGP(ConfigEq):
         quad = jnp.sum(rot * rot / denom, axis=-1)
         logdet = jnp.sum(jnp.log(denom), axis=-1)
         return -0.5 * (quad + logdet + n * math.log(2.0 * math.pi)) / n
+
+    def forecast_state(self, params, train_x, train_y):
+        """Filtered posterior ``(mean, var)`` of the latent residual at
+        the LAST train point given all observations (O(n) Kalman scan,
+        BM kernel only)."""
+        from ..ops.tridiag import brownian_noise_filter
+
+        vol = self.kernel.vol(params["kernel"])[..., 0]
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        resid = train_y - self.mean(params, train_x)
+        return brownian_noise_filter(vol[..., None] * train_x, noise, resid)
+
+    def posterior_forecast(self, params, train_x, train_y, test_x):
+        """Joint posterior over STRICTLY-FUTURE test points, closed form.
+
+        The BM kernel is Markov, so conditioning on all train data
+        collapses to the filtered state at the last train point:
+
+            ``mean_j = m(x*_j) + mu_n``
+            ``cov_jk = P_n + vol * (min(x*_j, x*_k) - x_n)``
+
+        — identical to the dense joint posterior (pinned in tests) at
+        O(n + H^2) instead of O(n^3): the pipeline's vol-path sampling
+        was the last super-linear memory/compute object at large n
+        (an n x n covariance + Cholesky per asset).
+        """
+        mu, p = self.forecast_state(params, train_x, train_y)
+        vol = self.kernel.vol(params["kernel"])[..., 0]
+        mean = self.mean(params, test_x) + mu[..., None]
+        gap = jnp.minimum(test_x[..., :, None], test_x[..., None, :]) \
+            - train_x[..., -1:, None]
+        cov = p[..., None, None] + vol[..., None, None] * gap
+        return mean, cov
+
+    def sample_forecast(self, key, params, train_x, train_y, test_x,
+                        sample_shape=()):
+        """Joint posterior samples at future test points in O(n + S*H).
+
+        Draws the filtered last-point state, then independent Brownian
+        increments (cumsum) — no covariance materialization at all, so
+        forecasting works unchanged at n in the tens of thousands.
+        """
+        mu, p = self.forecast_state(params, train_x, train_y)
+        vol = self.kernel.vol(params["kernel"])[..., 0]
+        incs = vol[..., None] * jnp.diff(
+            test_x, axis=-1, prepend=train_x[..., -1:]
+        )
+        batch = jnp.broadcast_shapes(mu.shape, incs.shape[:-1])
+        h = test_x.shape[-1]
+        k0, k1 = jax.random.split(key)
+        shape = (*tuple(sample_shape), *batch)
+        r0 = mu + jnp.sqrt(p) * jax.random.normal(k0, shape, train_y.dtype)
+        z = jax.random.normal(k1, (*shape, h), train_y.dtype)
+        r = r0[..., None] + jnp.cumsum(jnp.sqrt(incs) * z, axis=-1)
+        return r + self.mean(params, test_x)
 
     def posterior(self, params, train_x, train_y, test_x):
         """Latent posterior ``p(f* | y)`` (noisy conditioning on train)."""

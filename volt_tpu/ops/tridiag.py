@@ -39,6 +39,7 @@ __all__ = [
     "tridiag_solve",
     "brownian_noise_mll",
     "brownian_noise_mll_kalman",
+    "brownian_noise_filter",
 ]
 
 
@@ -206,3 +207,42 @@ def brownian_noise_mll_kalman(v, sigma2, resid):
         (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),
     )
     return ll / n
+
+
+def brownian_noise_filter(v, sigma2, resid):
+    """Posterior of the LATENT at the last train point given all data.
+
+    Same state-space model as :func:`brownian_noise_mll_kalman`; the
+    filtered state at the final observation is exactly the joint-GP
+    posterior there (Markov property), so forecasting needs no
+    factorization of anything: the posterior over any future grid is the
+    filtered state plus independent Brownian increments.  Returns
+    ``(mean, var)`` with the batch shape of ``resid``/``sigma2``.
+    """
+    v = jnp.asarray(v)
+    resid = jnp.asarray(resid)
+    n = resid.shape[-1]
+    delta = jnp.diff(v, axis=-1, prepend=jnp.zeros_like(v[..., :1]))
+    s2 = jnp.asarray(sigma2)
+    batch = jnp.broadcast_shapes(resid.shape[:-1], s2.shape,
+                                 delta.shape[:-1])
+    delta_b = jnp.broadcast_to(delta, (*batch, n))
+    resid_b = jnp.broadcast_to(resid, (*batch, n))
+    s2_b = jnp.broadcast_to(s2, batch)
+
+    def step(carry, inp):
+        mean, var = carry
+        d_t, y_t = inp
+        var_pred = var + d_t
+        innov_var = var_pred + s2_b
+        gain = var_pred / innov_var
+        mean = mean + gain * (y_t - mean)
+        var = var_pred * (1.0 - gain)
+        return (mean, var), None
+
+    zeros = jnp.zeros(batch, resid.dtype)
+    (mean, var), _ = lax.scan(
+        step, (zeros, zeros),
+        (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),
+    )
+    return mean, var

@@ -54,8 +54,20 @@ __all__ = [
 
 def sample_vol_paths(key, vol_state, test_x, nsample: int):
     """``nsample`` joint vol forecasts: ``exp`` of posterior samples of the
-    log-vol GP at ``test_x`` (reference ``rollout_utils.py:66``)."""
-    log_paths = vol_state.sample(key, test_x, (nsample,))
+    log-vol GP at ``test_x`` (reference ``rollout_utils.py:66``).
+
+    Forecast grids are strictly future (the rollout contract, as in every
+    reference call site), so for the Markov BM kernel the sampler uses
+    the O(n + S*H) filtered-state closed form instead of materializing
+    the n x n joint posterior — same distribution (pinned in tests),
+    and the vol stage stays O(n) at n in the tens of thousands.
+    """
+    from .kernels import BMKernel
+
+    if isinstance(getattr(vol_state.module, "kernel", None), BMKernel):
+        log_paths = vol_state.sample_forecast(key, test_x, (nsample,))
+    else:
+        log_paths = vol_state.sample(key, test_x, (nsample,))
     return jnp.exp(log_paths)
 
 
