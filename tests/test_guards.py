@@ -1,0 +1,105 @@
+"""Guard-rail behavior: auto-dispatch boundaries and contract fallbacks.
+
+Covers the round-2 advisor findings: the spectral path's int32 bound,
+``_is_equispaced`` degenerate/wobbly grids, and ``sample_vol_paths`` on
+non-future query grids.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volt_tpu.ops.brownian import min_kernel_spectrum, spectral_n_ok
+from volt_tpu.train import _is_equispaced, train_vol_model
+
+
+class TestSpectralNBound:
+    def test_bound_values(self):
+        assert spectral_n_ok(1000)
+        assert spectral_n_ok(16000)
+        assert not spectral_n_ok(40000)
+
+    def test_spectrum_raises_past_bound(self):
+        with pytest.raises(ValueError, match="int32"):
+            min_kernel_spectrum(40000)
+
+    def test_small_n_still_exact(self):
+        n = 7
+        mu, u, w = min_kernel_spectrum(n)
+        m = np.minimum(np.arange(1, n + 1)[:, None],
+                       np.arange(1, n + 1)[None, :])
+        rebuilt = (np.asarray(u, np.float64) * np.asarray(mu, np.float64)
+                   ) @ np.asarray(u, np.float64).T
+        np.testing.assert_allclose(rebuilt, m, atol=1e-4)
+
+
+class TestIsEquispaced:
+    def test_degenerate_grids_route_to_kalman(self):
+        # n < 3: the spectral cache's dx gather is ill-defined at n=1
+        # (clamped out-of-bounds gather yields dx=0 — advisor finding).
+        assert not _is_equispaced(jnp.asarray([0.5]))
+        assert not _is_equispaced(jnp.asarray([0.5, 1.0]))
+
+    def test_uniform_float32_grid_accepted_at_large_n(self):
+        # float32 rounding in arange(n)*dt diffs grows with |x|; the
+        # eps-scaled tolerance must keep accepting the conceptually
+        # uniform grid at any n (n=16k is a shipped pipeline shape).
+        x = jnp.arange(16000, dtype=jnp.float32) * (1.0 / 252)
+        assert _is_equispaced(x)
+
+    def test_one_percent_wobble_rejected(self):
+        rng = np.random.default_rng(0)
+        dt = 1.0 / 252
+        d = dt * (1.0 + 0.01 * rng.uniform(-1, 1, size=499))
+        x = jnp.asarray(np.concatenate([[0.0], np.cumsum(d)]), jnp.float32)
+        assert not _is_equispaced(x)
+
+    def test_wobbly_grid_trains_via_kalman(self):
+        # End-to-end: the auto-select path must pick the Kalman MLL for a
+        # wobbly grid and still produce a usable fit.
+        rng = np.random.default_rng(1)
+        dt = 1.0 / 252
+        d = dt * (1.0 + 0.008 * rng.uniform(-1, 1, size=39))
+        x = jnp.asarray(np.cumsum(np.concatenate([[dt], d])), jnp.float32)
+        vol = jnp.asarray(0.2 + 0.02 * rng.standard_normal(40) ** 2,
+                          jnp.float32)
+        state = train_vol_model(x, vol, train_iters=20)
+        assert bool(jnp.all(jnp.isfinite(state.params["kernel"]["raw_vol"])))
+
+    def test_explicit_override(self):
+        x = jnp.arange(32, dtype=jnp.float32) * 0.1
+        vol = 0.2 * jnp.ones(32)
+        s1 = train_vol_model(x, vol, train_iters=10, vol_mll="spectral")
+        s2 = train_vol_model(x, vol, train_iters=10, vol_mll="kalman")
+        # same optimum target: both paths train to nearby parameters
+        np.testing.assert_allclose(
+            np.asarray(s1.params["kernel"]["raw_vol"]),
+            np.asarray(s2.params["kernel"]["raw_vol"]), atol=1e-4)
+        with pytest.raises(ValueError, match="vol_mll"):
+            train_vol_model(x, vol, train_iters=1, vol_mll="bogus")
+
+
+class TestSampleVolPathsContract:
+    def test_non_future_grid_falls_back_dense(self, std_fitted):
+        from volt_tpu.rollouts import sample_vol_paths
+
+        train_x, _, _, _, vol_state, _ = std_fitted
+        # interpolating / overlapping query: the filtered-state closed
+        # form would take sqrt of negative increments -> NaN (advisor
+        # finding); the dense posterior handles it.
+        mid = jnp.asarray(np.linspace(float(train_x[3]),
+                                      float(train_x[-1]), 5), jnp.float32)
+        paths = sample_vol_paths(jax.random.key(0), vol_state, mid, 7)
+        assert paths.shape == (7, 5)
+        assert bool(jnp.all(jnp.isfinite(paths)))
+        assert bool(jnp.all(paths > 0))
+
+    def test_future_grid_uses_fast_path(self, std_fitted):
+        from volt_tpu.rollouts import sample_vol_paths
+
+        train_x, _, test_x, _, vol_state, _ = std_fitted
+        paths = sample_vol_paths(jax.random.key(0), vol_state, test_x, 7)
+        ref = jnp.exp(vol_state.sample_forecast(jax.random.key(0), test_x,
+                                                (7,)))
+        np.testing.assert_allclose(np.asarray(paths), np.asarray(ref))

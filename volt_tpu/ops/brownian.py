@@ -33,9 +33,22 @@ __all__ = [
     "bm_logdet",
     "bm_kl_against_prior",
     "min_kernel_spectrum",
+    "spectral_n_ok",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+def spectral_n_ok(n: int) -> bool:
+    """Whether :func:`min_kernel_spectrum` is exact at this ``n``.
+
+    The integer angle reduction computes ``(2k+1) * j`` (max
+    ``~2n(2n+1)``) in int32; beyond ``n ~ 23k`` the products overflow
+    and the eigenvectors silently degrade.  Callers that auto-select the
+    spectral path (``train.py``, ``parallel/pipeline.py``) fall back to
+    the Kalman MLL above this bound, which handles any ``n``.
+    """
+    return 2 * n * (2 * n + 1) < 2**31
 
 
 def min_kernel_spectrum(n: int, dtype=jnp.float32):
@@ -56,7 +69,18 @@ def min_kernel_spectrum(n: int, dtype=jnp.float32):
     Returns ``(mu (n,), u (n, n) orthonormal columns, w (n,) = U^T 1)``.
     Consumed by ``BMGP.spectral_cache`` and
     ``MultitaskBMGP.spectral_cache``.
+
+    Raises for ``n`` beyond the int32-exact angle-reduction bound
+    (:func:`spectral_n_ok`) instead of returning silently wrong
+    eigenvectors; auto-selecting callers check the bound and use the
+    Kalman path instead.
     """
+    if not spectral_n_ok(n):
+        raise ValueError(
+            f"min_kernel_spectrum: n={n} overflows the int32 angle "
+            f"reduction (needs 2n(2n+1) < 2^31, i.e. n <~ 23169); use the "
+            f"Kalman MLL path for longer series"
+        )
     k = jnp.arange(n)
     mu = 1.0 / (
         4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2

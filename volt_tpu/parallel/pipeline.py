@@ -126,7 +126,10 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     # ---- stage 2: vol GP (factorization-free MLL per Adam step) -----------
     log_vol = jnp.log(vol)
     bm = BMGP(kernel=config.kernel)
-    if config.kernel == "bm" and config.vol_mll == "spectral":
+    from ..ops.brownian import spectral_n_ok
+
+    if (config.kernel == "bm" and config.vol_mll == "spectral"
+            and spectral_n_ok(train_x.shape[-1])):
         # closed-form min(x) eigensystem (equispaced grids): two basis
         # projections per fit, elementwise O(n) per step, no scan.
         vol_cache = bm.spectral_cache(train_x, log_vol)

@@ -61,10 +61,31 @@ def sample_vol_paths(key, vol_state, test_x, nsample: int):
     the O(n + S*H) filtered-state closed form instead of materializing
     the n x n joint posterior — same distribution (pinned in tests),
     and the vol stage stays O(n) at n in the tens of thousands.
+
+    The closed form assumes ``test_x`` is increasing and strictly after
+    the train grid.  When the grids are concrete that contract is
+    checked host-side, and a query that overlaps or interpolates the
+    train grid falls back to the dense posterior sampler (which handles
+    any query grid) instead of producing silent NaNs from negative
+    increments.  Under tracing (inside ``jit``) the fast path is used
+    unconditionally — every jitted caller in the package forecasts
+    strictly-future grids.
     """
     from .kernels import BMKernel
 
-    if isinstance(getattr(vol_state.module, "kernel", None), BMKernel):
+    fast = isinstance(getattr(vol_state.module, "kernel", None), BMKernel)
+    if fast:
+        try:
+            import numpy as np
+
+            tx = np.asarray(test_x)
+            tr_last = np.asarray(vol_state.train_x)[..., -1]
+            if not (np.all(np.diff(tx, axis=-1) > 0)
+                    and np.all(tx[..., 0] > tr_last)):
+                fast = False
+        except Exception:
+            pass  # tracers: trust the rollout contract
+    if fast:
         log_paths = vol_state.sample_forecast(key, test_x, (nsample,))
     else:
         log_paths = vol_state.sample(key, test_x, (nsample,))
@@ -544,13 +565,33 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
     task covariance; price paths then evolve per asset via the Markov scan.
     Returns ``(T, nsample, H)`` log-price samples.
     """
+    from .kernels import BMKernel
+
     test_x = jnp.asarray(test_x)
     h = test_x.shape[-1]
     num_tasks = volt_state.train_y.shape[0]
     k_vol, k_z = jax.random.split(key)
 
-    # (S, H, T) correlated log-vol draws -> (T, S, H) vol paths
-    log_vols = mt_vol_state.sample(k_vol, test_x, (nsample,))
+    # (S, H, T) correlated log-vol draws -> (T, S, H) vol paths.  Same
+    # fast-path contract as sample_vol_paths: strictly-future grids take
+    # the Matheron sampler (no (H*T)^2 covariance — mandatory at the
+    # 505-ticker scale); anything else falls back to the dense posterior.
+    fast = isinstance(mt_vol_state.module.data_kernel, BMKernel)
+    if fast:
+        try:
+            import numpy as np
+
+            tx = np.asarray(test_x)
+            tr_last = np.asarray(mt_vol_state.train_x)[..., -1]
+            if not (np.all(np.diff(tx, axis=-1) > 0)
+                    and np.all(tx[..., 0] > tr_last)):
+                fast = False
+        except Exception:
+            pass  # tracers: trust the rollout contract
+    if fast:
+        log_vols = mt_vol_state.sample_forecast(k_vol, test_x, (nsample,))
+    else:
+        log_vols = mt_vol_state.sample(k_vol, test_x, (nsample,))
     pred_vol = jnp.exp(jnp.moveaxis(log_vols, -1, 0))
     zs = jax.random.normal(k_z, (num_tasks, nsample, h),
                            volt_state.train_y.dtype)

@@ -264,12 +264,15 @@ def _fit_bmgp(module: BMGP, params, train_x, log_vol, train_iters, lr,
 def _is_equispaced(x) -> bool:
     """Host-side check (concrete arrays only) for a uniform grid.
 
-    Tolerance 1e-2 relative: a conceptually uniform ``arange(n) * dt``
-    grid accumulates float32 rounding in its diffs (~1e-3 relative by
-    n ~ 8000) and must still qualify — the spectral paths then treat it
-    as exactly uniform, which is the intended model; genuinely irregular
-    grids (e.g. calendar days with weekend gaps, diffs varying ~3x) are
-    far outside this band.
+    Tolerance: ``max(1e-3 relative, 4 eps_f32 max|x|)`` — a conceptually
+    uniform ``arange(n) * dt`` grid stored in float32 accumulates
+    rounding in its diffs that grows with ``|x|`` (up to ``~2 eps |x|``
+    per endpoint), and must still qualify at any n; a grid whose spacing
+    genuinely wobbles at the ~1% level (lightly irregular real
+    timestamps) must NOT be silently modeled as exactly uniform — it
+    gets the Kalman MLL, which is exact on any grid.  Degenerate grids
+    (< 3 points) also route to Kalman: the spectral cache's ``dx``
+    gather is ill-defined at n=1.
     """
     import numpy as np
 
@@ -278,22 +281,45 @@ def _is_equispaced(x) -> bool:
     except Exception:
         return False
     if xv.ndim != 1 or xv.shape[0] < 3:
-        return xv.ndim == 1
+        return False
     d = np.diff(np.asarray(xv, np.float64))
     med = float(np.median(d))
-    return bool(np.all(np.abs(d - med) <= 1e-2 * max(abs(med), 1e-12)))
+    tol = max(
+        1e-3 * abs(med),
+        4.0 * float(np.finfo(np.float32).eps) * float(np.max(np.abs(xv))),
+    )
+    return bool(np.all(np.abs(d - med) <= tol))
 
 
 def train_vol_model(train_x, vol_path, train_iters: int = 1000,
                     printing: bool = False, kernel: str = "bm",
-                    lr: float = 0.01) -> BMGPState:
-    """Fit the exact BM GP to ``log(vol_path)``."""
+                    lr: float = 0.01,
+                    vol_mll: str | None = None) -> BMGPState:
+    """Fit the exact BM GP to ``log(vol_path)``.
+
+    ``vol_mll`` overrides the MLL-path auto-selection: ``"spectral"``
+    forces the closed-form equispaced eigensystem (caller asserts the
+    grid is uniform), ``"kalman"`` forces the any-grid O(n) filter,
+    ``None`` auto-selects (spectral iff the grid checks equispaced and
+    ``n`` is within the spectrum's int32-exact bound).
+    """
     train_x = jnp.asarray(train_x)
     log_vol = jnp.log(jnp.asarray(vol_path))
     module = BMGP(kernel=kernel)
     params = module.init()
+    from .ops.brownian import spectral_n_ok
+
+    if vol_mll is None:
+        spectral = (_is_equispaced(train_x)
+                    and spectral_n_ok(train_x.shape[-1]))
+    elif vol_mll == "spectral":
+        spectral = True
+    elif vol_mll == "kalman":
+        spectral = False
+    else:
+        raise ValueError("vol_mll must be None, 'spectral' or 'kalman'")
     params, losses = _fit_bmgp(module, params, train_x, log_vol, train_iters,
-                               lr, equispaced=_is_equispaced(train_x))
+                               lr, equispaced=spectral)
     if printing:
         for i in range(0, train_iters, 50):
             print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
@@ -466,10 +492,12 @@ def train_volt_multitask(train_x, train_ys, vol_paths, train_iters: int = 400,
         print("data-model final losses:",
               np.asarray(losses_b[:, -1]) if train_iters else "(no iters)")
 
+    from .ops.brownian import spectral_n_ok
+
     mt = MultitaskBMGP(num_tasks=num_tasks, rank=rank)
     log_vols_nt = jnp.log(vol_paths).T  # (n, T)
     n = log_vols_nt.shape[-2]
-    if _is_equispaced(train_x):
+    if _is_equispaced(train_x) and spectral_n_ok(n):
         # factorization-free: closed-form data spectrum + T x T blocks
         # (models/multitask.py mll_spectral) instead of an N x N eigh
         # per Adam step.
