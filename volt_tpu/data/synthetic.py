@@ -22,6 +22,13 @@ def sabr_paths(steps: int = 400, T: int = 1, F0: float = 10.0, V0: float = 0.2,
 
     Returns ``(F, V)`` shaped ``(steps,)`` (or ``(n_paths, steps)``) in
     float32 — prices and the true volatility path.
+
+    The Euler scheme is floored at small positive values (``F0 * 1e-3``
+    for prices): a large negative increment otherwise drives ``F``
+    negative and ``F**beta`` NaN for non-integer ``beta`` (likely
+    somewhere in any batch of ~50+ paths).  Paths that stay positive —
+    including the reference tutorial's seed-2019 path — are unchanged
+    bit-for-bit.
     """
     rng = np.random.default_rng(seed)
     dt = T / steps
@@ -33,9 +40,15 @@ def sabr_paths(steps: int = 400, T: int = 1, F0: float = 10.0, V0: float = 0.2,
     v = np.zeros((n_paths, n))
     f[:, 0] = F0
     v[:, 0] = V0
+    f_floor = 1e-3 * F0
+    v_floor = 1e-4
     for t in range(1, n):
-        f[:, t] = f[:, t - 1] + v[:, t - 1] * f[:, t - 1] ** beta * dw[:, t]
-        v[:, t] = v[:, t - 1] + alpha * v[:, t - 1] * dz[:, t]
+        f[:, t] = np.maximum(
+            f[:, t - 1] + v[:, t - 1] * f[:, t - 1] ** beta * dw[:, t],
+            f_floor,
+        )
+        v[:, t] = np.maximum(v[:, t - 1] + alpha * v[:, t - 1] * dz[:, t],
+                             v_floor)
     f = f.astype(np.float32)
     v = v.astype(np.float32)
     if n_paths == 1:

@@ -181,6 +181,94 @@ def kron_mvn_log_prob_blockdiag(r_tilde, ld, c, k_task, noise, w):
     return -0.5 * (quad + logdet + n * t * _LOG_2PI)
 
 
+def kron_mvn_log_prob_blockdiag_lowrank(r_tilde, ld, c, factor, task_diag,
+                                        noise, w):
+    """:func:`kron_mvn_log_prob_blockdiag` exploiting the IndexKernel's
+    low-rank-plus-diagonal task covariance — no T x T factorization.
+
+    With ``K_t = F F^T + diag(v)`` (``F`` (T, r), the reference's
+    ``IndexKernel``, ``multi_task_variational_gp.py:32``), each data-mode
+    block is diagonal-plus-rank-r:
+
+        ``B_i = ld_i K_t + s I = diag(ld_i v + s) + ld_i F F^T``
+
+    so Woodbury/matrix-determinant-lemma give every per-block solve and
+    logdet in O(T r^2) instead of the batched T x T Cholesky's O(T^3) —
+    the difference between O(N T^3) and O(N T r^2 + N T^2 r) per Adam
+    step, i.e. the step that makes the multitask vol fit tractable at
+    the 505-ticker north star (VERDICT round 2, item 1).  The rank-T
+    offset coupling (``c (w w^T) (x) K_t``) keeps one dense T x T solve
+    per evaluation — O(T^3) once, not N times.
+
+    Args: ``r_tilde`` (..., N, T) = ``U^T (y - mean)``; ``ld`` (..., N);
+    ``c`` scalar; ``factor`` (T, r); ``task_diag`` (T,) positive;
+    ``noise`` scalar; ``w`` (..., N).  Matches
+    :func:`kron_mvn_log_prob_blockdiag` to float precision (pinned in
+    tests).  Everything is stock-differentiable.
+    """
+    n, t = r_tilde.shape[-2], r_tilde.shape[-1]
+    r = factor.shape[-1]
+    eye_t = jnp.eye(t, dtype=r_tilde.dtype)
+    k_task = (_mm(factor, jnp.swapaxes(factor, -1, -2))
+              + task_diag[..., :, None] * eye_t)
+
+    ld_ = ld[..., :, None]                       # (..., N, 1)
+    dinv = 1.0 / (ld_ * task_diag + noise)       # (..., N, T)
+    # G = Dinv_i F : (..., N, T, r) contracted lazily; M_i = I_r + ld_i F^T Dinv_i F
+    fdf = jnp.einsum("...nt,ta,tb->...nab", dinv, factor, factor,
+                     precision=_HIGHEST)          # (..., N, r, r)
+    m_i = jnp.eye(r, dtype=r_tilde.dtype) + ld_[..., None] * fdf
+    chol_r = psd_safe_cholesky(m_i)              # (..., N, r, r)
+
+    def binv_apply(u):
+        """``B_i^{-1} u_i`` for stacked (..., N, T) right-hand sides."""
+        du = dinv * u
+        fu = jnp.einsum("ta,...nt->...na", factor, du,
+                        precision=_HIGHEST)       # (..., N, r)
+        sol = cholesky_solve(chol_r, fu[..., None])[..., 0]
+        return du - ld_ * dinv * jnp.einsum(
+            "ta,...na->...nt", factor, sol, precision=_HIGHEST
+        )
+
+    z = binv_apply(r_tilde)                       # (..., N, T)
+
+    # S = sum_i w_i^2 B_i^{-1}  (T x T), assembled from the Woodbury pieces:
+    #   diag(sum_i w_i^2 dinv_i) - sum_i w_i^2 ld_i H_i H_i^T,
+    #   H_i = Dinv_i F L_i^{-T}  (L_i = chol(M_i)).
+    w2 = w * w                                    # (..., N)
+    s_diag = jnp.einsum("...n,...nt->...t", w2, dinv, precision=_HIGHEST)
+    g = dinv[..., None] * factor                  # (..., N, T, r)
+    h = jnp.swapaxes(
+        solve_lower_triangular(chol_r, jnp.swapaxes(g, -1, -2)), -1, -2
+    )                                             # (..., N, T, r)
+    coeff = w2 * ld                               # (..., N)
+    s_corr = jnp.einsum("...n,...nta,...nua->...tu", coeff, h, h,
+                        precision=_HIGHEST)
+    s_mat = s_diag[..., :, None] * eye_t - s_corr
+
+    v = jnp.sum(w[..., None] * z, axis=-2)        # (..., T)
+
+    # Woodbury for the offset coupling (identical to the dense-block path).
+    m = eye_t + c * _mm(s_mat, k_task)
+    kv = jnp.einsum("...ab,...b->...a", k_task, v, precision=_HIGHEST)
+    corr = jnp.linalg.solve(m, kv[..., None])[..., 0]
+    quad = (
+        jnp.sum(r_tilde * z, axis=(-2, -1))
+        - c * jnp.sum(v * corr, axis=-1)
+    )
+    # logdet B_i = sum_t log(ld_i v_t + s) + logdet M_i
+    logdet_blocks = (
+        -jnp.sum(jnp.log(dinv), axis=(-2, -1))
+        + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol_r, axis1=-2, axis2=-1)),
+            axis=(-2, -1),
+        )
+    )
+    _, logdet_corr = jnp.linalg.slogdet(m)
+    logdet = logdet_blocks + logdet_corr
+    return -0.5 * (quad + logdet + n * t * _LOG_2PI)
+
+
 def kron_kl_bm_prior(mean_q, root_x, root_t, mean_p, x, vol, k_task,
                      jitter: float = 1e-6):
     """:func:`kron_kl` specialized to a BM data prior — no N x N Cholesky.

@@ -406,9 +406,16 @@ class IndexKernel(ConfigEq):
             "raw_var": jnp.zeros((self.num_tasks,), dtype),
         }
 
+    def factor_and_diag(self, params):
+        """The explicit low-rank-plus-diagonal pieces ``(F, v)`` of
+        ``B = F F^T + diag(v)`` — consumed by the Woodbury multitask MLL
+        (``gp/kronecker.kron_mvn_log_prob_blockdiag_lowrank``)."""
+        return params["covar_factor"], self.constraint.forward(
+            params["raw_var"]
+        )
+
     def covar_matrix(self, params):
-        f = params["covar_factor"]
-        v = self.constraint.forward(params["raw_var"])
+        f, v = self.factor_and_diag(params)
         return jnp.matmul(f, jnp.swapaxes(f, -1, -2), precision=_HIGHEST) + jnp.diag(v)
 
     def __call__(self, params, i1=None, i2=None, diag: bool = False):

@@ -56,6 +56,15 @@ class MultitaskBMGPState:
                           sample_shape)
         return flat.reshape(*flat.shape[:-1], m, t)
 
+    def sample_forecast(self, key, test_x, sample_shape=()):
+        """Matheron-rule joint posterior samples at strictly-future points
+        (BM data kernel only) — never materializes the (M T, M T)
+        posterior covariance ``sample`` builds, which at the 505-ticker
+        north star with a 100-step horizon would be a 10 GB matrix."""
+        return self.module.sample_forecast(key, self.params, self.train_x,
+                                           self.train_y, test_x,
+                                           sample_shape)
+
 
 class MultitaskBMGP(ConfigEq):
     """Exact Kronecker multitask GP over log-volatility."""
@@ -119,24 +128,29 @@ class MultitaskBMGP(ConfigEq):
 
     def mll_spectral(self, params, cache, n, t):
         """Exact multitask MLL / (N*T) with no factorization of the data
-        kernel: N batched T x T Cholesky blocks + a rank-T Woodbury
-        (:func:`volt_tpu.gp.kronecker.kron_mvn_log_prob_blockdiag`),
-        replacing the per-step ``eigh`` of the N x N kernel.  Pinned
-        against :meth:`mll` in tests."""
-        from ..gp.kronecker import kron_mvn_log_prob_blockdiag
+        kernel — and, through the IndexKernel's ``F F^T + diag(v)``
+        structure, no T x T factorization either
+        (:func:`volt_tpu.gp.kronecker.kron_mvn_log_prob_blockdiag_lowrank`:
+        O(N T r^2 + N T^2 r) per step instead of the batched-Cholesky
+        O(N T^3), which walls at the 505-ticker scale).  Pinned against
+        :meth:`mll` and the dense-block form in tests."""
+        from ..gp.kronecker import kron_mvn_log_prob_blockdiag_lowrank
 
         vol = self.data_kernel.vol(params["data_kernel"])[..., 0]
-        k_task = self.task_covar(params)
+        factor, task_diag = self.task_kernel.factor_and_diag(
+            params["task_kernel"]
+        )
+        diag_b = jnp.sum(factor * factor, axis=-1) + task_diag
         noise = self.likelihood.noise(params["likelihood"])[..., 0]
-        diag_b = jnp.diagonal(k_task, axis1=-2, axis2=-1)
         # U^T mean = (-0.5 vol^2 p_x) outer diag(B)
         r_tilde = cache["p_y"] + (
             0.5 * vol**2.0 * cache["p_x"]
         )[..., :, None] * diag_b[..., None, :]
         ld = vol * cache["dx"] * cache["mu"]
         c = vol * (cache["x0"] - cache["dx"])
-        lp = kron_mvn_log_prob_blockdiag(r_tilde, ld, c, k_task, noise,
-                                         cache["w"])
+        lp = kron_mvn_log_prob_blockdiag_lowrank(r_tilde, ld, c, factor,
+                                                 task_diag, noise,
+                                                 cache["w"])
         return lp / (n * t)
 
     def posterior(self, params, train_x, train_y, test_x):
@@ -148,6 +162,89 @@ class MultitaskBMGP(ConfigEq):
         resid = train_y - self.mean(params, train_x)
         mean, cov = kron_posterior(k_tr, k_cross, k_te, k_task, resid, noise)
         return mean + self.mean(params, test_x), cov
+
+    def sample_forecast(self, key, params, train_x, train_y, test_x,
+                        sample_shape=()):
+        """Joint posterior samples at strictly-future test points by
+        Matheron's rule — O(S(N + M)T + N^2 T) per call, no (M T, M T)
+        covariance.
+
+        Write the posterior sample as
+
+            ``f* = prior*(w) + K_*^T (K + s I)^{-1} (y - prior(w) - eps)``
+
+        with one joint prior draw ``prior = mean + BM-path x Lt^T`` over
+        the concatenated ``[train; test]`` grid (the BM path is a cumsum
+        of scaled normals — O(N + M) per path per task) and
+        ``eps ~ N(0, s I)``.  Two structural facts make this cheap:
+
+        * the Kronecker solve diagonalizes in the ``eigh`` bases of the
+          two factors — ONE N x N ``eigh`` per call (not per sample, not
+          per step);
+        * for strictly-future test points the BM cross-covariance is
+          rank one in the data dimension (``min(x_n, x*_m) = x_n``), so
+          the correction ``K_*^T alpha`` is a single ``(T,)`` vector per
+          sample, broadcast across the horizon — the forecast is the
+          filtered boundary state plus fresh Brownian motion, exactly as
+          in the single-task ``BMGP.sample_forecast``.
+
+        Distribution matches :meth:`posterior` /
+        :meth:`MultitaskBMGPState.sample` (pinned in tests: exact mean
+        via the zero-noise reduction, covariance statistically).
+        """
+        if not isinstance(self.data_kernel, BMKernel):
+            raise ValueError(
+                "sample_forecast requires the BM data kernel; use "
+                "MultitaskBMGPState.sample for FBM"
+            )
+        vol = self.data_kernel.vol(params["data_kernel"])[..., 0]
+        k_task = self.task_covar(params)
+        noise = self.likelihood.noise(params["likelihood"])[..., 0]
+        n = train_x.shape[-1]
+        m = test_x.shape[-1]
+        t = self.num_tasks
+        dtype = train_y.dtype
+
+        lt_root = psd_safe_cholesky(k_task)
+        joint_x = jnp.concatenate([train_x, test_x], axis=-1)
+        dx = jnp.diff(joint_x, axis=-1,
+                      prepend=jnp.zeros_like(joint_x[..., :1]))
+        sd = jnp.sqrt(jnp.maximum(vol * dx, 0.0))  # (N+M,)
+
+        k0, k1 = jax.random.split(key)
+        shape = (*tuple(sample_shape), n + m, t)
+        z = jax.random.normal(k0, shape, dtype)
+        b = jnp.cumsum(sd[..., :, None] * z, axis=-2)   # BM paths per task col
+        w_paths = _mm(b, jnp.swapaxes(lt_root, -1, -2))  # cov: vol·min (x) Kt
+        eps = jnp.sqrt(noise) * jax.random.normal(
+            k1, (*tuple(sample_shape), n, t), dtype
+        )
+
+        mean_train = self.mean(params, train_x)
+        mean_test = self.mean(params, test_x)
+        u = (train_y - mean_train) - w_paths[..., :n, :] - eps
+
+        # Kronecker solve in the factor eigenbases (one eigh per call).
+        lam, qd = jnp.linalg.eigh(
+            jnp.minimum(train_x[..., :, None], train_x[..., None, :])
+        )
+        ld = vol * jnp.maximum(lam, 0.0)
+        lt, qt = jnp.linalg.eigh(k_task)
+        lt = jnp.maximum(lt, 0.0)
+        denom = ld[..., :, None] * lt[..., None, :] + noise
+        rot = _mm(jnp.swapaxes(qd, -1, -2), _mm(u, qt)) / denom
+
+        # rank-one cross block: correction = vol * (x^T alpha) Kt per sample,
+        # constant across the horizon; contract in the eigenbases.
+        xr = jnp.einsum("...nk,...n->...k", qd, train_x, precision=_HIGHEST)
+        xa_tilde = jnp.einsum("...k,...kt->...t", xr, rot,
+                              precision=_HIGHEST)
+        xa = jnp.einsum("...t,...at->...a", xa_tilde, qt,
+                        precision=_HIGHEST)
+        corr = vol * jnp.einsum("...t,...ta->...a", xa, k_task,
+                                precision=_HIGHEST)  # (..., T)
+
+        return mean_test + w_paths[..., n:, :] + corr[..., None, :]
 
     def fit_state(self, params, train_x, train_y) -> MultitaskBMGPState:
         return MultitaskBMGPState(module=self, params=params, train_x=train_x,
