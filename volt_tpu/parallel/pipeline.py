@@ -60,6 +60,19 @@ class PipelineConfig:
     # fit_forecast_batch validates when the grid is concrete) or
     # "kalman" (O(n) sequential scan, any grid).
     vol_mll: str = "spectral"
+    # What the pipeline returns (and transfers to the host):
+    #   "samples"   — raw MC paths (nsample, H), the reference's product
+    #                 (torch.save'd tensors, GenerateMultiMeanPreds.py:124)
+    #   "quantiles" — an on-device quantile fan + mean/std over the MC
+    #                 paths, (len(quantile_levels), H) per asset.  The
+    #                 backtest/calibration consumers (option_utils.py:26-51,
+    #                 calib_plotter) reduce the paths to exactly these
+    #                 statistics anyway; reducing on-device shrinks the
+    #                 device->host fetch by ~nsample/len(levels) (~125x at
+    #                 the north-star shape), which is 70% of the end-to-end
+    #                 cost on this image's tunnel (PERFORMANCE.md).
+    output: str = "samples"
+    quantile_levels: tuple = (0.025, 0.05, 0.25, 0.5, 0.75, 0.95, 0.975)
 
 
 def _resolve_config(config: PipelineConfig) -> PipelineConfig:
@@ -99,8 +112,11 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     """Fit + forecast one asset.
 
     ``train_y``: prices, one longer than ``train_x`` (the return grid).
-    Returns ``(samples (nsample, H), aux)`` where ``aux`` carries the
-    inferred vol path and fitted parameters.
+    Returns ``(out, aux)``: ``out`` is the MC samples ``(nsample, H)``
+    or, with ``config.output="quantiles"``, the on-device quantile fan
+    ``(len(quantile_levels), H)`` (``aux`` then also carries
+    ``forecast_mean``/``forecast_std``); ``aux`` carries the inferred vol
+    path and fitted parameters.
     """
     config = _resolve_config(config)
     _check_spectral_grid(train_x, config)
@@ -190,6 +206,18 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
         & jnp.isfinite(data_losses[-1])
     )
 
+    if config.output == "quantiles":
+        levels = jnp.asarray(config.quantile_levels, samples.dtype)
+        fan = jnp.quantile(samples, levels, axis=-2)  # (L, H)
+        out = fan
+    elif config.output == "samples":
+        out = samples
+    else:
+        raise ValueError(
+            f"PipelineConfig.output must be 'samples' or 'quantiles', "
+            f"got {config.output!r}"
+        )
+
     aux = {
         "ok": ok,
         "vol": vol,
@@ -204,7 +232,10 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
         "volt_params": volt_params,
         "vol_params": vol_params,
     }
-    return samples, aux
+    if config.output == "quantiles":
+        aux["forecast_mean"] = jnp.mean(samples, axis=-2)
+        aux["forecast_std"] = jnp.std(samples, axis=-2)
+    return out, aux
 
 
 def _batched(key, train_x, train_ys, test_x, config: PipelineConfig):
@@ -214,9 +245,15 @@ def _batched(key, train_x, train_ys, test_x, config: PipelineConfig):
     )(keys, train_ys)
 
 
-def shard_batch(mesh):
-    """(in, out) shardings for the batched pipeline on an (asset, path) mesh."""
+def shard_batch(mesh, output: str = "samples"):
+    """(in, out) shardings for the batched pipeline on an (asset, path) mesh.
+
+    Sample outputs shard (asset, path); quantile fans carry no path axis
+    (the MC reduction happened on-device) and shard over assets only.
+    """
     asset = NamedSharding(mesh, P("asset"))
+    if output == "quantiles":
+        return asset, NamedSharding(mesh, P("asset"))
     out_samples = NamedSharding(mesh, P("asset", "path"))
     return asset, out_samples
 
@@ -225,8 +262,9 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
                        config: PipelineConfig, mesh=None):
     """Fit + forecast a batch of assets, sharded over the mesh.
 
-    ``train_ys``: ``(B, n+1)`` prices.  Returns ``(samples (B, S, H), aux)``
-    with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``.
+    ``train_ys``: ``(B, n+1)`` prices.  Returns ``(out (B, S, H), aux)``
+    with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``
+    (``config.output="quantiles"``: ``out (B, L, H)``, asset-sharded).
     """
     train_ys = jnp.asarray(train_ys)
     config = _resolve_config(config)
@@ -235,7 +273,7 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
         return jax.jit(_batched, static_argnames=("config",))(
             key, train_x, train_ys, test_x, config
         )
-    asset_sh, samples_sh = shard_batch(mesh)
+    asset_sh, samples_sh = shard_batch(mesh, config.output)
     train_ys = jax.device_put(train_ys, asset_sh)
     fn = jax.jit(
         _batched,
