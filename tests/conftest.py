@@ -7,23 +7,30 @@ before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# VOLT_TPU_TESTS=1 leaves the real TPU backend in place for the opt-in
+# on-chip smoke lane (`pytest -m tpu`, tests/test_tpu_smoke.py); the
+# default suite runs on 8 virtual CPU devices.
+_TPU_LANE = bool(os.environ.get("VOLT_TPU_TESTS"))
+
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # The image's sitecustomize registers a TPU PJRT plugin and force-selects it
 # via jax.config (overriding JAX_PLATFORMS from the environment), so the
 # config must be re-pointed at CPU explicitly after import.
-jax.config.update("jax_platforms", "cpu")
-if jax._src.xla_bridge.backends_are_initialized():  # pragma: no cover
-    from jax.extend.backend import clear_backends
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    if jax._src.xla_bridge.backends_are_initialized():  # pragma: no cover
+        from jax.extend.backend import clear_backends
 
-    clear_backends()
+        clear_backends()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
