@@ -273,6 +273,25 @@ class TestNotebookConfigRecovery:
         assert rel_err < 0.30, rel_err   # measured: ~0.195
         assert corr > 0.80, corr         # measured: ~0.93
 
+    def test_gpcv_quality_cv_parameterization(self):
+        """The cv likelihood with its exact-Hessian Laplace init
+        (``models/gpcv.py:_cv_laplace_pieces`` — the reference's cv
+        branch is broken, fixed by design) must recover the SABR vol
+        path within ~1.5x of the exp parameterization's error on the
+        same oracle (measured: rel_err ~0.205 vs exp's ~0.195, corr
+        ~0.94)."""
+        f, v = sabr_paths(steps=400, seed=2019)
+        steps, t_max = 400, 1.0
+        dt = t_max / steps
+        train_x = jnp.linspace(0, t_max, steps - 1) + dt
+        vol = np.asarray(learn_gpcv(train_x, jnp.asarray(f),
+                                    train_iters=500, param="cv",
+                                    key=jax.random.key(0)))
+        rel_err = np.mean(np.abs(vol - v[1:]) / v[1:])
+        corr = np.corrcoef(vol, v[1:])[0, 1]
+        assert rel_err < 0.30, rel_err   # measured: ~0.205
+        assert corr > 0.80, corr         # measured: ~0.94
+
 
 class TestVoltPosterior:
     def test_matches_dense_conditional(self, fitted, sde):

@@ -200,7 +200,8 @@ def running_std_latent_init(y, clamp_min: float = 1e-4):
     return f, rs
 
 
-def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0):
+def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
+                       inv_hess=None):
     """Laplace-style variational init for the ``"exp"`` parameterization.
 
     Reference ``single_task_variational_gp.py:204-254``:
@@ -212,6 +213,10 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0):
 
     Returns ``(VariationalState, mean_constant_init)`` where the constant
     mean inits to ``log(mean(running_std))``.
+
+    ``inv_hess`` overrides the exp-parameterization curvature (the cv
+    init passes the exact autodiff Hessian of its own likelihood —
+    ``models/gpcv.py``); when omitted the exp closed form above is used.
     """
     y = jnp.asarray(y)
     if f is None:
@@ -221,9 +226,10 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0):
         rs = None
         mean_const = None
 
-    inv_hess = jnp.clip(
-        0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
-    )
+    if inv_hess is None:
+        inv_hess = jnp.clip(
+            0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
+        )
 
     chol_kuu = psd_safe_cholesky(kuu)
     inner = jnp.matmul(

@@ -150,6 +150,56 @@ class VolatilityGaussianLikelihood(ConfigEq):
         s = self.scale(params, f)
         return -0.5 * (y / s) ** 2 - jnp.log(s) - 0.5 * _LOG_2PI
 
+    def latent_from_scale(self, params, target_scale, newton_iters: int = 30):
+        """Invert ``scale(f) = target`` for ``f`` (elementwise).
+
+        For ``"exp"`` this is ``log(target)``; for ``"cv"`` the softplus
+        mixture is strictly increasing in ``f`` (``a_k > 0``,
+        ``b_k > 0``), so a damped Newton iteration from 0 converges for
+        any positive target.  Replaces the reference's cv init, which
+        inverted a single-component approximation against the *latent*
+        (``single_task_variational_gp.py:227-238`` — the branch the
+        SURVEY marks broken; fixed by design).
+        """
+        target = jnp.clip(jnp.asarray(target_scale), min=1e-3)
+        if self.param == "exp":
+            return jnp.log(target)
+
+        def step(f, _):
+            s = self.scale(params, f)
+            # ds/df = sum_k a_k b_k sigmoid(b_k f + c_k) > 0
+            ds = jnp.sum(
+                self.trans_a(params) * self.trans_b(params)
+                * jax.nn.sigmoid(
+                    self.trans_b(params) * f[..., None]
+                    + self.trans_c(params)
+                ),
+                axis=-1,
+            )
+            f = f - jnp.clip((s - target) / jnp.maximum(ds, 1e-8),
+                             min=-5.0, max=5.0)
+            return f, None
+        f0 = jnp.zeros_like(target)
+        f, _ = jax.lax.scan(step, f0, None, length=newton_iters)
+        return f
+
+    def neg_log_prob_hessian(self, params, y, f):
+        """Exact per-datum ``-d^2 log p(y | f) / df^2`` (autodiff).
+
+        The Laplace-init curvature.  For ``"exp"`` this has the closed
+        form ``2 y^2 e^{-2f}`` (the reference's inverse,
+        ``0.5 y^{-2} e^{2f}``); for ``"cv"`` hand-deriving the K=5
+        softplus mixture's curvature is exactly what the reference got
+        wrong — the autodiff Hessian is exact by construction.
+        """
+        def nlp(ff, yy):
+            return -self.log_prob(params, yy, ff)
+
+        hess = jax.grad(jax.grad(nlp))
+        for _ in range(max(jnp.ndim(f), jnp.ndim(y))):
+            hess = jax.vmap(hess)
+        return hess(jnp.broadcast_to(f, jnp.shape(y)), jnp.asarray(y))
+
     def expected_log_prob(self, params, y, mean, var,
                           num_locs: int = DEFAULT_NUM_LOCS,
                           method: str | None = None):

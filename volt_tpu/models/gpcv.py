@@ -52,12 +52,15 @@ class GPCVState:
 
 
 class GPCVModel(ConfigEq):
-    """Note on parameterizations: training supports both likelihoods, but
-    the Laplace initialization implements the ``"exp"`` Hessian (the only
-    one any reference pipeline uses; the reference's ``"cv"`` init branch
-    mixes shapes inconsistently — SURVEY.md §7 hard part 3).  With
-    ``param="cv"`` the running-std/exp-Hessian init is used as a heuristic
-    starting point.
+    """Note on parameterizations: both likelihoods get a principled
+    Laplace initialization.  ``"exp"`` uses the reference's closed-form
+    inverse Hessian; ``"cv"`` inverts its softplus-mixture scale against
+    the running std (damped Newton) and takes the *exact autodiff
+    Hessian* of its own log-likelihood — the reference's cv branch
+    (``single_task_variational_gp.py:227-238``) overwrites ``y`` with the
+    latent and inverts a single-component approximation; SURVEY.md marks
+    it broken, fixed here by design.  Recovery quality under ``"cv"`` is
+    pinned in ``tests/test_pipeline.py``.
 
     ``q`` selects the variational family:
 
@@ -99,28 +102,53 @@ class GPCVModel(ConfigEq):
         see ``_init_tridiag``).
         """
         kernel_params = self.kernel.init(dtype)
+        lik_params = self.likelihood.init(dtype, key=key)
         if self.q == "tridiag":
-            return self._init_tridiag(kernel_params, train_x, y, key, dtype)
+            return self._init_tridiag(kernel_params, lik_params, train_x, y,
+                                      dtype)
         kuu = self.kernel(kernel_params, train_x)
-        var_state, mean_const = laplace_initialize(kuu, y)
+        if self.likelihood.param == "cv":
+            f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
+            var_state, _ = laplace_initialize(kuu, y, f=f,
+                                              inv_hess=inv_hess)
+        else:
+            var_state, mean_const = laplace_initialize(kuu, y)
         return {
             "kernel": kernel_params,
             "mean": {"constant": mean_const[..., None]},
-            "likelihood": self.likelihood.init(dtype, key=key),
+            "likelihood": lik_params,
             "variational_mean": var_state.variational_mean,
             "chol_variational_covar": var_state.chol_variational_covar,
         }
+
+    def _cv_laplace_pieces(self, lik_params, y):
+        """The cv-parameterization Laplace ingredients: latent init from
+        inverting ``scale(f) = running_std``, constant mean likewise, and
+        the clamped inverse of the exact autodiff Hessian (same clamp
+        band as the exp branch)."""
+        _, rs = running_std_latent_init(y)
+        f = self.likelihood.latent_from_scale(lik_params, rs)
+        mean_const = self.likelihood.latent_from_scale(
+            lik_params, jnp.mean(rs, axis=-1)
+        )
+        hess = self.likelihood.neg_log_prob_hessian(lik_params, y, f)
+        inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3), min=1e-4,
+                            max=1000.0)
+        return f, mean_const, inv_hess
 
     # --- tridiagonal-precision q (TPU-native; see ops/bidiag.py) -----------
 
     _KL_JITTER = 1e-6
 
-    def _init_tridiag(self, kernel_params, train_x, y, key, dtype):
-        f, rs = running_std_latent_init(y)
-        mean_const = jnp.log(jnp.mean(rs, axis=-1))
-        inv_hess = jnp.clip(
-            0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
-        )
+    def _init_tridiag(self, kernel_params, lik_params, train_x, y, dtype):
+        if self.likelihood.param == "cv":
+            f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
+        else:
+            f, rs = running_std_latent_init(y)
+            mean_const = jnp.log(jnp.mean(rs, axis=-1))
+            inv_hess = jnp.clip(
+                0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
+            )
         vol = self.kernel.vol(kernel_params)[..., 0]
         a_diag, a_off, _ = min_precision(train_x, self._KL_JITTER / vol)
         # plain Laplace precision K^{-1} + diag(inv_hess) — deliberately
@@ -136,7 +164,7 @@ class GPCVModel(ConfigEq):
         return {
             "kernel": kernel_params,
             "mean": {"constant": mean_const[..., None]},
-            "likelihood": self.likelihood.init(dtype, key=key),
+            "likelihood": lik_params,
             "variational_mean": f,
             "q_log_d": jnp.log(d),
             "q_e": e,

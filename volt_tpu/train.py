@@ -117,7 +117,8 @@ def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
 
 def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False,
                kernel: str = "bm", lr: float = 0.01, return_model: bool = False,
-               key=None, mc_scale_samples=None, q: str | None = None):
+               key=None, mc_scale_samples=None, q: str | None = None,
+               param: str = "exp"):
     """Infer the volatility path from prices.  Returns ``pred_scale``
     (and the fitted :class:`GPCVState` when ``return_model=True`` — the
     reference's ``return_model`` call site was broken; fixed by design,
@@ -131,12 +132,17 @@ def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False
     ``q="full"`` keeps the reference's dense n x n variational
     covariance for strict trajectory parity.  FBM requires ``"full"``
     (no Markov prior).
+
+    ``param`` selects the likelihood parameterization (``"exp"`` — the
+    reference pipelines' choice, ``train_utils.py:20`` — or ``"cv"``,
+    the Wilson-Ghahramani copula form with its exact-Hessian Laplace
+    init, ``models/gpcv.py``).
     """
     if q is None:
         q = "tridiag" if kernel == "bm" else "full"
     train_x = jnp.asarray(train_x)
     yy = scaled_returns(train_x, train_y)
-    module = GPCVModel(kernel=kernel, q=q)
+    module = GPCVModel(kernel=kernel, q=q, param=param)
     params = module.init(train_x, yy, key=key)
     params, losses = _fit_gpcv(module, params, train_x, yy, train_iters, lr)
     if printing:
