@@ -130,6 +130,50 @@ class TestMatheronForecastSampler:
             state.sample_forecast(jax.random.key(0), x[-1] + x[:2])
 
 
+class TestBatchedVoltAPI:
+    def test_txn_constructor_routes_multitask(self):
+        """Reference ``Volt`` accepts ``T x N`` log_data and routes the
+        vol stage to ``MultitaskBMGP`` (``Volt.py:30-33,64-71``); the
+        convenience API must expose the same batched path."""
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.models.multitask import MultitaskBMGPState
+        from volt_tpu.models.volt_api import Volt
+
+        t, n, h = 3, 40, 5
+        dt = 1.0 / 252
+        f, _ = sabr_paths(steps=n, seed=5, n_paths=t)
+        train_x = jnp.arange(n, dtype=jnp.float32) * dt
+        test_x = train_x[-1] + dt * jnp.arange(1, h + 1, dtype=jnp.float32)
+
+        v = Volt(train_x, jnp.log(jnp.asarray(f)), mean="ewma", k=10)
+        assert v.batched
+        v.Train(gpcv_iters=10, vol_mod_iters=10, data_mod_iters=10)
+        assert isinstance(v.vol_model, MultitaskBMGPState)
+        samples = v.Forecast(test_x, nsample=4)
+        assert samples.shape == (t, 4, h)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+        # mean-reverting variant exercises the theta plumbing
+        s2 = v.Forecast(test_x, nsample=4, mean_revert=True, theta=0.05)
+        assert s2.shape == (t, 4, h)
+        assert bool(jnp.all(jnp.isfinite(s2)))
+
+    def test_single_series_still_single(self):
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.models.volt_api import Volt
+
+        n, h = 40, 4
+        dt = 1.0 / 252
+        f, _ = sabr_paths(steps=n, seed=5)
+        train_x = jnp.arange(n, dtype=jnp.float32) * dt
+        test_x = train_x[-1] + dt * jnp.arange(1, h + 1, dtype=jnp.float32)
+        v = Volt(train_x, jnp.log(jnp.asarray(f)), mean="ewma", k=10)
+        assert not v.batched
+        v.Train(gpcv_iters=10, vol_mod_iters=10, data_mod_iters=10)
+        samples = v.Forecast(test_x, nsample=4)
+        assert samples.shape == (4, h)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+
 @pytest.mark.slow
 class TestMultitaskChainT64:
     def test_full_chain_t64(self):

@@ -6,6 +6,13 @@ the entire pipeline (GPCV -> vol model -> data model); ``Forecast``
 delegates to the rollout sampler.  The reference's ``Forecast`` passes
 kwargs its own ``Rollouts`` does not accept and raises ``TypeError``
 (SURVEY.md preamble) — fixed by design here.
+
+Batched construction: ``log_data`` of shape ``(T, n)`` (the reference's
+``TRAIN_Y: T X N`` convention, ``Volt.py:20-33``) routes the vol stage to
+the Kronecker :class:`~volt_tpu.models.multitask.MultitaskBMGP` and
+``Forecast`` to :func:`~volt_tpu.rollouts.rollouts_multitask`, exactly as
+the reference constructor selects ``MultitaskBMGP`` for 2-D data
+(``Volt.py:64-71``).
 """
 
 from __future__ import annotations
@@ -13,26 +20,42 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..rollouts import rollouts
-from ..train import learn_gpcv, train_vol_model, train_volt_magpie
+from ..rollouts import rollouts, rollouts_multitask
+from ..train import (learn_gpcv, learn_gpcv_multitask, train_vol_model,
+                     train_volt_magpie, train_volt_multitask)
 
 __all__ = ["Volt"]
 
 
 class Volt:
-    def __init__(self, train_x, log_data, mean: str = "constant", k: int = 25):
-        self.train_x = jnp.asarray(train_x)   # full grid, length n
-        self.log_data = jnp.asarray(log_data)  # full log prices, length n
+    def __init__(self, train_x, log_data, mean: str = "constant", k: int = 25,
+                 rank: int = 1):
+        self.train_x = jnp.asarray(train_x)    # full grid, length n
+        self.log_data = jnp.asarray(log_data)  # (n,) or (T, n) log prices
         self.mean_name = mean
         self.k = k
+        self.rank = rank
+        self.batched = self.log_data.ndim > 1
         self.model = None
+        self.vol_model = None
 
     def Train(self, gpcv_iters: int = 400, vol_mod_iters: int = 1000,
               data_mod_iters: int = 400, display: bool = False, key=None):
         """GPCV -> vol GP -> data model (reference ``Volt.Train``,
-        ``Volt.py:95-146``)."""
+        ``Volt.py:95-146``); the batched case couples assets through the
+        multitask vol GP."""
         x = self.train_x
         data = jnp.exp(self.log_data)
+        if self.batched:
+            scales = learn_gpcv_multitask(x[1:], data, gpcv_iters,
+                                          rank=self.rank, key=key)
+            self.model, self.vol_model = train_volt_multitask(
+                x[1:], data[:, 1:], scales, train_iters=data_mod_iters,
+                vol_iters=vol_mod_iters, k=self.k,
+                mean_func=self.mean_name, rank=self.rank,
+                printing=display, key=key,
+            )
+            return self.model
         vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display)
         vol_state = train_vol_model(x[1:], vol, vol_mod_iters,
                                     printing=display)
@@ -44,11 +67,18 @@ class Volt:
 
     def Forecast(self, test_x, nsample: int = 50, mean_revert: bool = False,
                  theta: float = 0.05, key=None):
-        """MC forecast samples ``(nsample, H)`` of log prices."""
+        """MC forecast samples of log prices: ``(nsample, H)``, or
+        ``(T, nsample, H)`` for batched construction."""
         if self.model is None:
             raise RuntimeError("call Train() first")
         if key is None:
             key = jax.random.key(0)
+        if self.batched:
+            return rollouts_multitask(
+                key, self.model, self.vol_model,
+                jnp.exp(self.log_data)[:, 1:], jnp.asarray(test_x),
+                nsample=nsample, theta=theta if mean_revert else None,
+            )
         return rollouts(
             key, self.model, self.train_x[1:], jnp.exp(self.log_data),
             jnp.asarray(test_x), nsample=nsample,
