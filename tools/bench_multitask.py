@@ -1,0 +1,136 @@
+"""On-chip multitask scaling: the T>=64 evidence the round-2 verdict asked
+for (item 1).
+
+Measures, at a given (T, n), on the real TPU:
+
+* the Kronecker multitask vol-GP fit (``train_volt_multitask``'s
+  ``mll_spectral`` path — low-rank Woodbury blocks) — ms/iter;
+* the multitask GPCV ELBO step (``learn_gpcv_multitask``) — ms/iter;
+* the correlated forecast sampling + rollouts
+  (``sample_forecast`` Matheron + per-task Markov scans) — ms total.
+
+Usage: ``python tools/bench_multitask.py --tasks 64 128 256 505 --n 1000``
+Prints one JSON line per (T, stage).  All timings fetch (axon tunnel:
+``block_until_ready`` does not synchronize); min over repeats.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, repeats=3):
+    out = jax.device_get(fn())  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.device_get(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, nargs="+",
+                    default=[64, 128, 256, 505])
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--nsample", type=int, default=50)
+    ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--stages", type=str, default="vol,gpcv,rollout")
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+
+    import numpy as np
+
+    from volt_tpu.likelihoods import VolatilityGaussianLikelihood
+    from volt_tpu.models.multitask import (MultitaskBMGP,
+                                           MultitaskVariationalGP)
+    from volt_tpu.train import _adam_scan
+
+    n = args.n - 1
+    dt = 1.0 / 252
+    train_x = jnp.arange(n, dtype=jnp.float32) * dt
+    test_x = train_x[-1] + dt * jnp.arange(1, args.horizon + 1,
+                                           dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+
+    for t in args.tasks:
+        log_vols_nt = jnp.asarray(
+            np.log(0.2) + 0.1 * rng.standard_normal((n, t)), jnp.float32
+        )
+        yy = jnp.asarray(0.2 * rng.standard_normal((n, t)), jnp.float32)
+
+        if "vol" in stages:
+            mt = MultitaskBMGP(num_tasks=t, rank=1)
+
+            @jax.jit
+            def fit_vol(p):
+                cache = mt.spectral_cache(train_x, log_vols_nt)
+                return _adam_scan(
+                    lambda q: -mt.mll_spectral(q, cache, n, t),
+                    p, args.iters, 0.01,
+                )[1][-1]
+
+            el, loss = timed(partial(fit_vol, mt.init()), args.repeats)
+            assert np.isfinite(loss), f"vol fit non-finite at T={t}"
+            print(json.dumps({
+                "stage": "mt_vol_fit", "T": t, "n": n,
+                "ms_per_iter": round(1e3 * el / args.iters, 3),
+                "fit_sec_400iter": round(el / args.iters * 400, 2),
+            }), flush=True)
+
+        if "gpcv" in stages:
+            lik = VolatilityGaussianLikelihood(param="exp")
+            mvg = MultitaskVariationalGP(num_tasks=t, rank=1)
+            params = mvg.init(train_x)
+            params = mvg.initialize_variational_parameters(
+                params, lik, {}, train_x, yy
+            )
+
+            @jax.jit
+            def fit_gpcv(p):
+                return _adam_scan(
+                    lambda q: -mvg.elbo(q, train_x, yy, lik, {}),
+                    p, args.iters, 0.01,
+                )[1][-1]
+
+            el, loss = timed(partial(fit_gpcv, params), args.repeats)
+            assert np.isfinite(loss), f"gpcv non-finite at T={t}"
+            print(json.dumps({
+                "stage": "mt_gpcv_fit", "T": t, "n": n,
+                "ms_per_iter": round(1e3 * el / args.iters, 3),
+            }), flush=True)
+
+        if "rollout" in stages:
+            mt = MultitaskBMGP(num_tasks=t, rank=1)
+            state = mt.fit_state(mt.init(), train_x, log_vols_nt)
+
+            @jax.jit
+            def sample(key):
+                return state.sample_forecast(key, test_x, (args.nsample,))
+
+            el, vols = timed(partial(sample, jax.random.key(0)),
+                             args.repeats)
+            assert np.isfinite(vols).all(), f"forecast NaN at T={t}"
+            print(json.dumps({
+                "stage": "mt_vol_forecast", "T": t, "n": n,
+                "S": args.nsample, "H": args.horizon,
+                "ms_total": round(1e3 * el, 2),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
