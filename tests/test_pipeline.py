@@ -292,6 +292,22 @@ class TestNotebookConfigRecovery:
         assert rel_err < 0.30, rel_err   # measured: ~0.205
         assert corr > 0.80, corr         # measured: ~0.94
 
+    def test_gpcv_quality_fbm_kernel(self):
+        """FBM GPCV must actually converge: with the reference's x10
+        root inflation the fit diverges against the near-singular FBM
+        prior (loss ~1e8 -> NaN); the uninflated Laplace init recovers
+        the vol path (measured rel_err ~0.18 at n=149, 300 iters —
+        ``models/gpcv.py:init``)."""
+        f, v = sabr_paths(steps=150, seed=0)
+        n = 149
+        dt = 1.0 / 252
+        train_x = jnp.arange(n, dtype=jnp.float32) * dt
+        vol = np.asarray(learn_gpcv(train_x, jnp.asarray(f),
+                                    train_iters=300, kernel="fbm"))
+        assert np.isfinite(vol).all()
+        rel_err = np.mean(np.abs(vol - v[1:]) / v[1:])
+        assert rel_err < 0.40, rel_err   # measured: ~0.179
+
 
 class TestVoltPosterior:
     def test_matches_dense_conditional(self, fitted, sde):

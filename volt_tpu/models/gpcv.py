@@ -107,12 +107,24 @@ class GPCVModel(ConfigEq):
             return self._init_tridiag(kernel_params, lik_params, train_x, y,
                                       dtype)
         kuu = self.kernel(kernel_params, train_x)
+        # The reference's x10 root inflation
+        # (single_task_variational_gp.py:251) is kept for the BM kernel
+        # (trajectory-parity-pinned); against the FBM prior — which is
+        # near-singular on grids starting at 0 — the inflated init
+        # diverges outright (loss ~1e8 -> NaN by iter ~100), while the
+        # plain Laplace covariance converges to an 0.18-rel-err vol
+        # recovery (measured, n=149 SABR; same precedent as the
+        # tridiag/sparse inits).
+        root_scale = 10.0 if isinstance(self.kernel, BMKernel) else 1.0
         if self.likelihood.param == "cv":
             f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
             var_state, _ = laplace_initialize(kuu, y, f=f,
-                                              inv_hess=inv_hess)
+                                              inv_hess=inv_hess,
+                                              root_scale=root_scale)
         else:
-            var_state, mean_const = laplace_initialize(kuu, y)
+            var_state, mean_const = laplace_initialize(
+                kuu, y, root_scale=root_scale
+            )
         return {
             "kernel": kernel_params,
             "mean": {"constant": mean_const[..., None]},
