@@ -54,7 +54,9 @@ def _tril(x):
 
 
 def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
-                     expected_log_prob_fn, num_data=None, beta: float = 1.0):
+                     expected_log_prob_fn, num_data=None, beta: float = 1.0,
+                     chol_jitter: float | None = None,
+                     chol_max_tries: int = 3):
     """Variational ELBO with inducing == train == query.
 
     ``elbo = mean_i E_q[log p(y_i | f_i)] - beta * KL(q || p) / num_data``
@@ -62,6 +64,12 @@ def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
 
     ``expected_log_prob_fn(y, mean, var)`` returns the per-datum expected
     log-likelihood (e.g. the volatility likelihood's GH quadrature).
+
+    ``chol_jitter`` / ``chol_max_tries`` tune the prior factorization's
+    jitter ladder — the FBM prior is near-singular in float32 at n in
+    the hundreds and needs a deeper ladder than gpytorch's 1e-6 x10^3
+    (measured: 4/8 NaN lanes at n=399 with the default ladder, 1/8 with
+    1e-5 x10^5 — the remaining lane is the per-asset ``ok`` flag's job).
     """
     n = y.shape[-1]
     if num_data is None:
@@ -69,7 +77,8 @@ def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
     chol_q = _tril(state.chol_variational_covar)
     marg_var = jnp.sum(chol_q * chol_q, axis=-1)
     ell = expected_log_prob_fn(y, state.variational_mean, marg_var)
-    chol_p = psd_safe_cholesky(kuu)
+    chol_p = psd_safe_cholesky(kuu, jitter=chol_jitter,
+                               max_tries=chol_max_tries)
     kl = mvn_kl(state.variational_mean, chol_q, prior_mean, chol_p)
     return jnp.mean(ell, axis=-1) - kl * beta / num_data
 

@@ -232,7 +232,10 @@ class GPCVModel(ConfigEq):
             )
             return jnp.mean(ell_vals, axis=-1) - kl / n
         kuu = self.kernel(params["kernel"], train_x)
-        return elbo_at_inducing(state, prior_mean, kuu, y, ell)
+        # deeper jitter ladder for the near-singular FBM prior (see
+        # elbo_at_inducing's docstring; BM never reaches this branch)
+        return elbo_at_inducing(state, prior_mean, kuu, y, ell,
+                                chol_jitter=1e-5, chol_max_tries=5)
 
     def init_sparse(self, train_x, inducing_x, y, key=None,
                     dtype=jnp.float32):
