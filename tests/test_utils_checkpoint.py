@@ -65,6 +65,34 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
 
 
+    def test_multitask_state_roundtrip(self, tmp_path):
+        from volt_tpu.models.multitask import (MultitaskBMGP,
+                                               MultitaskBMGPState)
+        from volt_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+        t, n = 3, 12
+        mt = MultitaskBMGP(num_tasks=t, rank=1)
+        params = mt.init(key=jax.random.key(2))
+        x = jnp.arange(n, dtype=jnp.float32) * 0.01
+        y = jnp.log(0.2) + 0.1 * jax.random.normal(jax.random.key(3),
+                                                   (n, t))
+        state = mt.fit_state(params, x, y)
+
+        path = str(tmp_path / "mt_ckpt")
+        tree = {"params": state.params, "train_x": state.train_x,
+                "train_y": state.train_y}
+        save_pytree(path, tree)
+        like = {"params": mt.init(key=jax.random.key(0)),
+                "train_x": jnp.zeros_like(x), "train_y": jnp.zeros_like(y)}
+        restored_tree = restore_pytree(path, like)
+        restored = MultitaskBMGPState(module=mt, **restored_tree)
+        s1 = state.sample_forecast(jax.random.key(5), x[-1] + x[:4] + 0.01,
+                                   (6,))
+        s2 = restored.sample_forecast(jax.random.key(5),
+                                      x[-1] + x[:4] + 0.01, (6,))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+
 class TestProfiling:
     def test_timed(self):
         fn = jax.jit(lambda x: x * 2.0)
