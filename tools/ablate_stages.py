@@ -49,7 +49,8 @@ def main():
     train_ys = jnp.asarray(f)
 
     base = dict(gpcv_iters=300, vol_iters=300, data_iters=300,
-                mean_func="ewma", k=100, nsample=1000)
+                mean_func="ewma", k=100, nsample=1000,
+                output=os.environ.get("BENCH_OUTPUT", "samples"))
     variants = {
         "full": {},
         "gpcv_1": {"gpcv_iters": 1},
