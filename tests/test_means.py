@@ -159,3 +159,77 @@ class TestMagpieScanProtocol:
         for b in range(5):
             expected = float(mean.last_value({}, jnp.asarray(y[b, :50])))
             assert got[b] == pytest.approx(expected, abs=2e-4)
+
+
+class TestFastScanProtocol:
+    """O(1) rolling-register rollout state vs the windowed protocol.
+
+    The CRN dense-oracle parity tests already pin the fast path (they run
+    at horizon <= k); these pin the two protocols directly at the h = k
+    boundary and check the h > k fallback routes through the window form.
+    """
+
+    def _roll_both(self, mean_mod, y, h, nsample=6):
+        import jax
+        from jax import lax
+
+        params = mean_mod.init()
+        w_state = mean_mod.scan_init(params, y)
+        w_state = jax.tree.map(
+            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), w_state)
+        f_state, xs = mean_mod.scan_fast_init(params, y, h)
+        f_state = jax.tree.map(
+            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), f_state)
+        ys = 100.0 + np.random.default_rng(0).standard_normal((h, nsample))
+        ys = jnp.asarray(ys, jnp.float32)
+
+        def w_body(state, y_t):
+            m = mean_mod.scan_value(params, state)
+            return mean_mod.scan_append(params, state, y_t), m
+
+        def f_body(state, inp):
+            x_t, y_t = inp
+            m = mean_mod.scan_fast_value(params, state)
+            return mean_mod.scan_fast_append(params, state, x_t, y_t), m
+
+        _, m_w = lax.scan(w_body, w_state, ys)
+        _, m_f = lax.scan(f_body, f_state, (xs, ys))
+        return np.asarray(m_w), np.asarray(m_f)
+
+    @pytest.mark.parametrize("mean_cls,kwargs", [
+        (M.EWMAMean, {}), (M.DEWMAMean, {}), (M.TEWMAMean, {}),
+        (M.MeanRevertingEMAMean, {"theta": 0.3}),
+    ])
+    def test_matches_window_protocol_at_boundary(self, mean_cls, kwargs):
+        k = 12
+        mean_mod = mean_cls(k=k, **kwargs)
+        y = jnp.asarray(
+            100.0 + np.cumsum(np.random.default_rng(1).standard_normal(40)),
+            jnp.float32)
+        m_w, m_f = self._roll_both(mean_mod, y, h=k)  # h == k boundary
+        np.testing.assert_allclose(m_f, m_w, rtol=2e-5, atol=2e-3)
+
+    def test_fallback_above_k(self):
+        assert not M.EWMAMean(k=5).scan_fast_supported(6)
+        assert M.EWMAMean(k=5).scan_fast_supported(5)
+        assert not M.HEWMAMean(k=16).scan_fast_supported(4)
+
+    def test_rollout_dispatch_above_k_still_correct(self, std_fitted):
+        # h > k forces the window path inside _rollout_volt_scan; the
+        # result must still match the dense oracle in distribution terms
+        # (finite + plausible); exactness for h <= k is covered by the
+        # CRN parity suite.
+        import jax
+        from volt_tpu.rollouts import rollouts
+
+        train_x, train_y, _, vol, vol_state, _ = std_fitted
+        from volt_tpu.train import train_volt_magpie
+
+        model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
+                                  train_iters=10, k=4, mean_func="ewma")
+        dt = 1.0 / 252
+        test_x = train_x[-1] + dt * jnp.arange(1, 9, dtype=jnp.float32)
+        s = rollouts(jax.random.key(0), model, train_x, train_y, test_x,
+                     nsample=5)
+        assert s.shape == (5, 8)
+        assert bool(jnp.all(jnp.isfinite(s)))

@@ -7,7 +7,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.ewma import ewma, ewma_weights, window_append, window_init, window_value
+from ..ops.ewma import (ewma, ewma_weights, rolling_append, rolling_coeffs,
+                        window_append, window_init, window_value)
 
 from ..utils.static import ConfigEq
 
@@ -168,6 +169,37 @@ class EWMAMean(ConfigEq):
         del params
         return {"buf": window_append(state["buf"], y_new)}
 
+    # --- O(1) scan protocol (rollouts with horizon <= k) ---
+    #
+    # Same filter, scalar state: the windowed sum updates in O(1) per
+    # step (ops/ewma.rolling_append) and — because every element that
+    # expires within the first k steps comes from the *train-side* init
+    # window — the expiry sequence is precomputed and fed through the
+    # scan inputs.  At production shapes this removes the (S, k) buffer
+    # whose per-step shift+dot dominated the rollout (PERFORMANCE.md
+    # round 3).  Exact up to float reassociation (pinned against the
+    # window protocol in tests).
+
+    def scan_fast_supported(self, horizon: int) -> bool:
+        return horizon <= self.k
+
+    def scan_fast_init(self, params, y, horizon: int):
+        del params
+        buf = window_init(y, self.k)
+        w = ewma_weights(self.k, buf.dtype)
+        carry = {"s1": window_value(buf, w)}
+        xs = {"exp1": jnp.moveaxis(buf[..., :horizon], -1, 0)}
+        return carry, xs
+
+    def scan_fast_value(self, params, carry):
+        del params
+        return carry["s1"]
+
+    def scan_fast_append(self, params, carry, x_t, y_new):
+        del params
+        c = rolling_coeffs(self.k, y_new.dtype)
+        return {"s1": rolling_append(carry["s1"], y_new, x_t["exp1"], c)}
+
 
 class DEWMAMean(EWMAMean):
     """Double EWMA: ``2 * ema - ema(ema)`` (reference ``EWMA.py:85-98``)."""
@@ -192,6 +224,30 @@ class DEWMAMean(EWMAMean):
         del params
         w = ewma_weights(self.k, state["buf"].dtype)
         return 2.0 * window_value(state["buf"], w) - window_value(state["buf_e"], w)
+
+    def scan_fast_init(self, params, y, horizon: int):
+        del params
+        e = ewma(y, self.k)
+        buf = window_init(y, self.k)
+        buf_e = window_init(e[..., :-1], self.k)
+        w = ewma_weights(self.k, buf.dtype)
+        carry = {"s1": window_value(buf, w), "s2": window_value(buf_e, w)}
+        xs = {"exp1": jnp.moveaxis(buf[..., :horizon], -1, 0),
+              "exp2": jnp.moveaxis(buf_e[..., :horizon], -1, 0)}
+        return carry, xs
+
+    def scan_fast_value(self, params, carry):
+        del params
+        return 2.0 * carry["s1"] - carry["s2"]
+
+    def scan_fast_append(self, params, carry, x_t, y_new):
+        del params
+        c = rolling_coeffs(self.k, y_new.dtype)
+        e_cur = carry["s1"]  # pre-append level-1 value (scan_append parity)
+        return {
+            "s1": rolling_append(carry["s1"], y_new, x_t["exp1"], c),
+            "s2": rolling_append(carry["s2"], e_cur, x_t["exp2"], c),
+        }
 
     def scan_append(self, params, state, y_new):
         del params
@@ -243,6 +299,36 @@ class TEWMAMean(EWMAMean):
             "buf_ee": window_append(state["buf_ee"], ee_cur),
         }
 
+    def scan_fast_init(self, params, y, horizon: int):
+        del params
+        e = ewma(y, self.k)
+        ee = ewma(e, self.k)[..., :-1]
+        buf = window_init(y, self.k)
+        buf_e = window_init(e[..., :-1], self.k)
+        buf_ee = window_init(ee[..., :-1], self.k)
+        w = ewma_weights(self.k, buf.dtype)
+        carry = {"s1": window_value(buf, w), "s2": window_value(buf_e, w),
+                 "s3": window_value(buf_ee, w)}
+        xs = {"exp1": jnp.moveaxis(buf[..., :horizon], -1, 0),
+              "exp2": jnp.moveaxis(buf_e[..., :horizon], -1, 0),
+              "exp3": jnp.moveaxis(buf_ee[..., :horizon], -1, 0)}
+        return carry, xs
+
+    def scan_fast_value(self, params, carry):
+        del params
+        return 3.0 * carry["s1"] - 3.0 * carry["s2"] + carry["s3"]
+
+    def scan_fast_append(self, params, carry, x_t, y_new):
+        del params
+        c = rolling_coeffs(self.k, y_new.dtype)
+        e_cur = carry["s1"]
+        ee_cur = carry["s2"]  # pre-append level values (scan_append parity)
+        return {
+            "s1": rolling_append(carry["s1"], y_new, x_t["exp1"], c),
+            "s2": rolling_append(carry["s2"], e_cur, x_t["exp2"], c),
+            "s3": rolling_append(carry["s3"], ee_cur, x_t["exp3"], c),
+        }
+
 
 class HEWMAMean(EWMAMean):
     """Hull-style EWMA (reference ``EWMA.py:57-71``).
@@ -266,6 +352,9 @@ class HEWMAMean(EWMAMean):
             "HEWMAMean has no single-query semantics in the reference "
             "(means/EWMA.py:57-71) and cannot drive rollouts."
         )
+
+    def scan_fast_supported(self, horizon: int) -> bool:
+        return False  # same scoping as scan_init
 
 
 class MeanRevertingEMAMean(EWMAMean):
@@ -313,4 +402,28 @@ class MeanRevertingEMAMean(EWMAMean):
             "buf": window_append(state["buf"], y_new),
             "prev_e": window_value(state["buf"], w),
             "latent_mean": state["latent_mean"],
+        }
+
+    def scan_fast_init(self, params, y, horizon: int):
+        del params
+        e = ewma(y, self.k)
+        buf = window_init(y, self.k)
+        w = ewma_weights(self.k, buf.dtype)
+        carry = {"s1": window_value(buf, w), "prev_e": e[..., -2],
+                 "latent_mean": jnp.mean(y, axis=-1)}
+        xs = {"exp1": jnp.moveaxis(buf[..., :horizon], -1, 0)}
+        return carry, xs
+
+    def scan_fast_value(self, params, carry):
+        del params
+        return carry["s1"] - self.theta * (carry["prev_e"]
+                                           - carry["latent_mean"])
+
+    def scan_fast_append(self, params, carry, x_t, y_new):
+        del params
+        c = rolling_coeffs(self.k, y_new.dtype)
+        return {
+            "s1": rolling_append(carry["s1"], y_new, x_t["exp1"], c),
+            "prev_e": carry["s1"],  # pre-append value (scan_append parity)
+            "latent_mean": carry["latent_mean"],
         }

@@ -35,6 +35,8 @@ __all__ = [
     "window_init",
     "window_append",
     "window_value",
+    "rolling_coeffs",
+    "rolling_append",
 ]
 
 
@@ -140,3 +142,37 @@ def window_append(buf, value):
 def window_value(buf, w):
     """Weighted window sum — equals the last output of the full filter."""
     return jnp.einsum("...k,k->...", buf, w, precision=lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# O(1) rolling register: the scalar-state rollout form.
+# ---------------------------------------------------------------------------
+#
+# Appending y_new to a k-tap truncated EWMA window whose oldest element is
+# y_exp updates the weighted sum in O(1):
+#
+#     sum' = (1 - alpha) * sum + w[-1] * y_new - (1 - alpha) * w[0] * y_exp
+#
+# (shifting the window multiplies every surviving tap's weight by
+# ``1 - alpha``).  When the rollout horizon H <= k, every expiring element
+# is a *train-side* value known before the scan starts (the init window's
+# entries, leaving oldest-first), so the whole Magpie mean state collapses
+# from an (S, k) buffer — whose per-step shift + dot dominated the rollout
+# at production batch sizes (~40 GB of buffer traffic at B=500, S=1000,
+# k=100, H=100) — to one scalar sum per path per level, with the expiry
+# sequence fed through the scan's per-step inputs.  Exact up to float
+# reassociation (pinned against the window form in tests).
+
+
+def rolling_coeffs(k: int, dtype=jnp.float32):
+    """``(decay, w_new, w_exp)`` for :func:`rolling_append`."""
+    w = _ewma_weights_np(k)
+    alpha = 2.0 / (k + 1)
+    return (jnp.asarray(1.0 - alpha, dtype), jnp.asarray(w[-1], dtype),
+            jnp.asarray((1.0 - alpha) * w[0], dtype))
+
+
+def rolling_append(sum_cur, y_new, y_exp, coeffs):
+    """O(1) update of the truncated-EWMA weighted sum."""
+    decay, w_new, w_exp = coeffs
+    return decay * sum_cur + w_new * y_new - w_exp * y_exp

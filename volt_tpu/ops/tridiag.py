@@ -202,9 +202,15 @@ def brownian_noise_mll_kalman(v, sigma2, resid):
         return (mean, var, ll), None
 
     zeros = jnp.zeros(batch, resid.dtype)
+    # The filter is latency-bound, not flop-bound: each step is a handful
+    # of elementwise ops over the batch lanes, so per-step dispatch
+    # dominates.  Unrolling trades compile size for ~1.9x on-chip at
+    # B=500, n=999 (measured ladder: 2.37/1.93/1.46/1.25 ms per MLL+grad
+    # at unroll 1/8/16/32).
     (_, _, ll), _ = lax.scan(
         step, (zeros, zeros, zeros),
         (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),
+        unroll=32,
     )
     return ll / n
 

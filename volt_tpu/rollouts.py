@@ -112,7 +112,21 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
     sds = jnp.sqrt(0.5 * dx) * pred_vol
 
     hist = mean_mod.is_history_dependent
-    if hist:
+    # O(1)-state mean protocol: at horizon <= k the Magpie state is a few
+    # scalars per path instead of an (S, k) window whose per-step
+    # shift+dot dominated the rollout at production batch sizes
+    # (PERFORMANCE.md round 3; exact up to float reassociation).
+    fast = (hist and hasattr(mean_mod, "scan_fast_supported")
+            and mean_mod.scan_fast_supported(h))
+    mean_xs = {"_": jnp.zeros((h,), y.dtype)}  # placeholder scan input
+    if fast:
+        state0, mean_xs = mean_mod.scan_fast_init(mean_params, y, h)
+        state0 = jax.tree.map(
+            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), state0
+        )
+        m_prev0 = mean_mod.train_values(mean_params, y)[..., -1]
+        m_det = jnp.zeros((h,), y.dtype)  # unused
+    elif hist:
         state0 = mean_mod.scan_init(mean_params, y)
         state0 = jax.tree.map(
             lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), state0
@@ -133,8 +147,10 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
 
     def body(carry, inp):
         state, y_prev, m_prev = carry
-        sd_t, z_t, m_det_t = inp
-        if hist:
+        sd_t, z_t, m_det_t, mean_x = inp
+        if fast:
+            m_t = mean_mod.scan_fast_value(mean_params, state)
+        elif hist:
             m_t = mean_mod.scan_value(mean_params, state)
         else:
             m_t = jnp.broadcast_to(m_det_t, y_prev.shape)
@@ -142,11 +158,17 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
         if use_theta:
             pred_mean = pred_mean - theta * (pred_mean - latent_mean)
         y_t = pred_mean + sd_t * z_t
-        if hist:
+        if fast:
+            state = mean_mod.scan_fast_append(mean_params, state, mean_x,
+                                              y_t)
+        elif hist:
             state = mean_mod.scan_append(mean_params, state, y_t)
         return (state, y_t, m_t), y_t
 
-    _, samples = lax.scan(body, carry0, (sds.T, zs.T, m_det))
+    # With the O(1) mean state the step body is a few elementwise ops —
+    # dispatch-bound, so unroll (see brownian_noise_mll_kalman).
+    _, samples = lax.scan(body, carry0, (sds.T, zs.T, m_det, mean_xs),
+                          unroll=8 if fast or not hist else 1)
     return samples.T  # (S, H)
 
 
