@@ -206,11 +206,13 @@ def brownian_noise_mll_kalman(v, sigma2, resid):
     # of elementwise ops over the batch lanes, so per-step dispatch
     # dominates.  Unrolling trades compile size for ~1.9x on-chip at
     # B=500, n=999 (measured ladder: 2.37/1.93/1.46/1.25 ms per MLL+grad
-    # at unroll 1/8/16/32).
+    # at unroll 1/8/16/32).  TPU only: on CPU the unrolled HLO roughly
+    # doubles the test suite's compile wall-time for no benefit.
+    unroll = 32 if jax.default_backend() == "tpu" else 1
     (_, _, ll), _ = lax.scan(
         step, (zeros, zeros, zeros),
         (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),
-        unroll=32,
+        unroll=unroll,
     )
     return ll / n
 

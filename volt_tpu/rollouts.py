@@ -166,9 +166,12 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
         return (state, y_t, m_t), y_t
 
     # With the O(1) mean state the step body is a few elementwise ops —
-    # dispatch-bound, so unroll (see brownian_noise_mll_kalman).
+    # dispatch-bound, so unroll (see brownian_noise_mll_kalman; TPU only,
+    # CPU pays the compile for no benefit).
+    unroll = 8 if ((fast or not hist)
+                   and jax.default_backend() == "tpu") else 1
     _, samples = lax.scan(body, carry0, (sds.T, zs.T, m_det, mean_xs),
-                          unroll=8 if fast or not hist else 1)
+                          unroll=unroll)
     return samples.T  # (S, H)
 
 
