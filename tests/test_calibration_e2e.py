@@ -82,3 +82,47 @@ class TestEndToEndCalibration:
         expected = TRUE_VOL * np.sqrt(DT * np.arange(1, H + 1))
         ratio = stds / expected
         assert 0.5 < np.median(ratio) < 2.0, ratio
+
+
+class TestCoverageFromQuantiles:
+    def test_calibrated_gaussian_matches_levels(self):
+        """Coverage computed from a quantile fan equals the nominal levels
+        when truth is drawn from the fan's own law (the summaries-output
+        analog of the calibration-vs-diagonal check)."""
+        from scipy.stats import norm
+
+        from volt_tpu.calibration import coverage_from_quantiles
+
+        rng = np.random.default_rng(0)
+        b, h, levels = 50, 20, jnp.asarray(
+            [0.025, 0.05, 0.25, 0.5, 0.75, 0.95, 0.975])
+        mu = rng.standard_normal((b, 1))
+        sd = rng.uniform(0.5, 2.0, (b, 1))
+        fan = mu[:, None, :] + sd[:, None, :] * norm.ppf(
+            np.asarray(levels))[None, :, None]
+        fan = jnp.asarray(np.broadcast_to(fan, (b, len(levels), h)),
+                          jnp.float32)
+        truth = jnp.asarray(mu + sd * rng.standard_normal((b, h)),
+                            jnp.float32)
+        lv, obs = coverage_from_quantiles(levels, fan, truth)
+        np.testing.assert_allclose(np.asarray(obs), np.asarray(lv),
+                                   atol=0.05)
+
+    def test_matches_sample_percentile_coverage(self, forecasts_and_truth):
+        """On a real pipeline forecast, fan-based coverage agrees with the
+        raw-sample percentile computation at the shared levels."""
+        from volt_tpu.calibration import (coverage_from_quantiles,
+                                          sample_percentiles)
+
+        all_samples, all_truth = forecasts_and_truth[:2]
+        samples = jnp.asarray(all_samples[0])  # one window: (S, H)
+        truth = jnp.asarray(all_truth[0])
+        levels = jnp.asarray([0.1, 0.25, 0.5, 0.75, 0.9])
+        fan = jnp.quantile(samples, levels, axis=0)  # (L, H)
+        _, obs = coverage_from_quantiles(levels, fan, truth)
+        pct = sample_percentiles(samples, truth)  # (H,)
+        # fan coverage counts truth <= q_l <=> percentile-of-truth <= l
+        want = jnp.mean(
+            (pct[None, :] <= levels[:, None]).astype(jnp.float32), axis=1)
+        np.testing.assert_allclose(np.asarray(obs), np.asarray(want),
+                                   atol=0.15)

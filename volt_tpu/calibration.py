@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["sample_percentiles", "calibration", "calibration_curve", "crps"]
+__all__ = ["sample_percentiles", "calibration", "calibration_curve", "crps",
+           "coverage_from_quantiles"]
 
 
 def sample_percentiles(samples, truth):
@@ -40,6 +41,25 @@ def calibration(percentiles, levels=None):
         percentiles[None, :] <= hi[:, None]
     )
     return levels, jnp.mean(inside.astype(jnp.float32), axis=1)
+
+
+def coverage_from_quantiles(levels, fan, truth):
+    """Empirical coverage straight from a quantile fan — the natural
+    evaluation consumer of ``PipelineConfig(output="quantiles")``.
+
+    ``levels``: the fan's quantile levels ``(L,)`` (ascending);
+    ``fan``: ``(..., L, H)`` on-device quantiles; ``truth``: ``(..., H)``
+    realized values.  Returns ``(levels, observed)`` where ``observed[l]``
+    is the fraction of (asset, step) cells with ``truth <= fan[..., l, :]``
+    — for a calibrated forecaster ``observed ~= levels`` (the notebook's
+    curve-vs-diagonal check without ever materializing the raw paths).
+    """
+    levels = jnp.asarray(levels)
+    fan = jnp.asarray(fan)
+    truth = jnp.asarray(truth)
+    below = (truth[..., None, :] <= fan).astype(jnp.float32)
+    axes = tuple(i for i in range(below.ndim) if i != below.ndim - 2)
+    return levels, jnp.mean(below, axis=axes)
 
 
 def calibration_curve(samples_list, truths_list, levels=None):
