@@ -23,9 +23,12 @@ def main():
 
     b = int(os.environ.get("SCALE_ASSETS", "16"))
     cfg = PipelineConfig(gpcv_iters=300, vol_iters=300, data_iters=300,
-                         mean_func="ewma", k=100, nsample=1000)
+                         mean_func="ewma", k=100, nsample=1000,
+                         output=os.environ.get("BENCH_OUTPUT", "samples"))
     dt = 1.0 / 252
-    for ntrain in (400, 1000, 2000, 4000, 8000):
+    sizes = tuple(int(s) for s in os.environ.get(
+        "SCALE_NTRAIN", "400,1000,2000,4000,8000").split(","))
+    for ntrain in sizes:
         n = ntrain - 1
         f, _ = sabr_paths(steps=ntrain, seed=0, n_paths=b)
         train_x = jnp.arange(n, dtype=jnp.float32) * dt
