@@ -130,6 +130,26 @@ class TestMatheronForecastSampler:
             state.sample_forecast(jax.random.key(0), x[-1] + x[:2])
 
 
+class TestMultitaskGPCVLikelihoods:
+    @pytest.mark.parametrize("param", ["exp", "cv"])
+    def test_both_parameterizations_train(self, param):
+        """The multitask GPCV init handles both likelihoods: exp via the
+        reference's closed-form Hessian, cv via scale inversion + the
+        exact autodiff Hessian (mirroring the single-task fix); cv's
+        mixture parameters train jointly with the variational state."""
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.train import learn_gpcv_multitask
+
+        t, n = 4, 48
+        f, _ = sabr_paths(steps=n + 1, seed=11, n_paths=t)
+        x = jnp.arange(n, dtype=jnp.float32) * (1.0 / 252)
+        scales = learn_gpcv_multitask(x, jnp.asarray(f), train_iters=25,
+                                      param=param)
+        assert scales.shape == (t, n)
+        assert bool(jnp.all(jnp.isfinite(scales)))
+        assert bool(jnp.all(scales > 0))
+
+
 class TestBatchedVoltAPI:
     def test_txn_constructor_routes_multitask(self):
         """Reference ``Volt`` accepts ``T x N`` log_data and routes the

@@ -281,15 +281,28 @@ class MultitaskVariationalGP(ConfigEq):
     def initialize_variational_parameters(self, params, likelihood,
                                           lik_params, x, y):
         """Laplace-style init (reference
-        ``multi_task_variational_gp.py:38-91``, exp parameterization):
-        per-task running-std latent, task-averaged inverse Hessian,
-        ``S_root = chol(Kuu) inner^{-1/2} * 10``."""
+        ``multi_task_variational_gp.py:38-91``): per-task running-std
+        latent, task-averaged inverse Hessian,
+        ``S_root = chol(Kuu) inner^{-1/2} * 10``.
+
+        For the exp likelihood this is the reference's closed-form
+        inverse Hessian; for cv the latent comes from inverting the
+        softplus-mixture scale and the curvature from the exact autodiff
+        Hessian (same fix-by-design as the single-task init,
+        ``models/gpcv.py:_cv_laplace_pieces``)."""
         from ..gp.variational import running_std_latent_init
 
-        f, rs = running_std_latent_init(y.T)  # per task: (T, N)
-        f = f.T  # (N, T)
-        inv_hess = jnp.clip(0.5 * (y.T) ** -2.0 * jnp.exp(2.0 * f.T),
-                            min=1e-4, max=1000.0)  # (T, N)
+        if getattr(likelihood, "param", "exp") == "cv":
+            _, rs = running_std_latent_init(y.T)          # (T, N)
+            f = likelihood.latent_from_scale(lik_params, rs).T  # (N, T)
+            hess = likelihood.neg_log_prob_hessian(lik_params, y.T, f.T)
+            inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3),
+                                min=1e-4, max=1000.0)     # (T, N)
+        else:
+            f, rs = running_std_latent_init(y.T)  # per task: (T, N)
+            f = f.T  # (N, T)
+            inv_hess = jnp.clip(0.5 * (y.T) ** -2.0 * jnp.exp(2.0 * f.T),
+                                min=1e-4, max=1000.0)  # (T, N)
         mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
 
         kuu = self.data_kernel(params["data_kernel"], x)
@@ -303,7 +316,11 @@ class MultitaskVariationalGP(ConfigEq):
         )
         s_root = _mm(chol, inner_inv_root) * 10.0
 
-        log_means = jnp.log(jnp.mean(jnp.clip(rs, min=1e-4), axis=-1))  # (T,)
+        mean_rs = jnp.mean(jnp.clip(rs, min=1e-4), axis=-1)  # (T,)
+        if getattr(likelihood, "param", "exp") == "cv":
+            log_means = likelihood.latent_from_scale(lik_params, mean_rs)
+        else:
+            log_means = jnp.log(mean_rs)
         index = {
             **params["index_kernel"],
             "covar_factor": params["index_kernel"]["covar_factor"] / 10.0,

@@ -202,13 +202,15 @@ def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
 def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
                          rank: int = 1, lr: float = 0.01,
                          num_locs: int = 75, return_model: bool = False,
-                         key=None):
+                         key=None, param: str = "exp"):
     """Kronecker multitask GPCV: one variational vol model coupling T
     assets/stations (reference ``models/multi_task_variational_gp.py``,
     which ships without a training driver — provided here).
 
     ``train_ys``: ``(T, n+1)`` prices.  Returns per-task predicted scales
-    ``(T, n)``.
+    ``(T, n)``.  ``param`` selects the likelihood parameterization
+    (``"cv"`` trains the K=5 mixture parameters jointly with the
+    variational state and uses its exact-Hessian Laplace init).
     """
     from .likelihoods import VolatilityGaussianLikelihood
     from .models.multitask import MultitaskVariationalGP
@@ -218,24 +220,27 @@ def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
     num_tasks = train_ys.shape[0]
     yy = scaled_returns(train_x, train_ys).T  # (n, T)
 
-    lik = VolatilityGaussianLikelihood(param="exp")
+    lik = VolatilityGaussianLikelihood(param=param)
+    lik_params = lik.init(key=key if key is not None else jax.random.key(0))
     module = MultitaskVariationalGP(num_tasks=num_tasks, rank=rank)
     params = module.init(train_x, key=key)
-    params = module.initialize_variational_parameters(params, lik, {},
+    params = module.initialize_variational_parameters(params, lik,
+                                                      lik_params,
                                                       train_x, yy)
 
     @partial(jax.jit, static_argnames=())
     def fit(p):
         return _adam_scan(
-            lambda q: -module.elbo(q, train_x, yy, lik, {},
+            lambda q: -module.elbo(q["model"], train_x, yy, lik, q["lik"],
                                    num_locs=num_locs),
             p, train_iters, lr,
         )
 
-    params, losses = fit(params)
+    packed, losses = fit({"model": params, "lik": lik_params})
+    params, lik_params = packed["model"], packed["lik"]
     mean = params["variational_mean"]          # (n, T)
     var = module.marginal_variances(params)    # (n, T)
-    pred_scale = lik.expected_scale({}, mean, var).T  # (T, n)
+    pred_scale = lik.expected_scale(lik_params, mean, var).T  # (T, n)
     if return_model:
         return pred_scale, (module, params)
     return pred_scale
