@@ -119,15 +119,11 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
     fast = (hist and hasattr(mean_mod, "scan_fast_supported")
             and mean_mod.scan_fast_supported(h))
     mean_xs = {"_": jnp.zeros((h,), y.dtype)}  # placeholder scan input
-    if fast:
-        state0, mean_xs = mean_mod.scan_fast_init(mean_params, y, h)
-        state0 = jax.tree.map(
-            lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), state0
-        )
-        m_prev0 = mean_mod.train_values(mean_params, y)[..., -1]
-        m_det = jnp.zeros((h,), y.dtype)  # unused
-    elif hist:
-        state0 = mean_mod.scan_init(mean_params, y)
+    if hist:
+        if fast:
+            state0, mean_xs = mean_mod.scan_fast_init(mean_params, y, h)
+        else:
+            state0 = mean_mod.scan_init(mean_params, y)
         state0 = jax.tree.map(
             lambda b: jnp.broadcast_to(b, (nsample, *b.shape)), state0
         )
