@@ -18,6 +18,10 @@ class TestSpectralNBound:
     def test_bound_values(self):
         assert spectral_n_ok(1000)
         assert spectral_n_ok(16000)
+        # max intermediate is (2n-1) n: exact through n=32768
+        assert spectral_n_ok(30000)
+        assert spectral_n_ok(32768)
+        assert not spectral_n_ok(32769)
         assert not spectral_n_ok(40000)
 
     def test_spectrum_raises_past_bound(self):
@@ -78,6 +82,33 @@ class TestIsEquispaced:
             np.asarray(s2.params["kernel"]["raw_vol"]), atol=1e-4)
         with pytest.raises(ValueError, match="vol_mll"):
             train_vol_model(x, vol, train_iters=1, vol_mll="bogus")
+
+
+class TestPipelineMinLength:
+    def test_short_series_clear_error(self):
+        from volt_tpu.parallel import PipelineConfig, fit_forecast
+
+        x = jnp.asarray([1.0 / 252, 2.0 / 252], jnp.float32)
+        cfg = PipelineConfig(gpcv_iters=2, vol_iters=2, data_iters=2, k=2,
+                             nsample=2)
+        with pytest.raises(ValueError, match="11 train points"):
+            fit_forecast(jax.random.key(0), x,
+                         jnp.asarray([10.0, 10.1, 10.05]), x + 0.01, cfg)
+
+    def test_n12_runs(self):
+        from volt_tpu.parallel import PipelineConfig, fit_forecast
+
+        x = jnp.arange(12, dtype=jnp.float32) * (1.0 / 252)
+        prices = jnp.asarray(
+            100.0 + np.cumsum(
+                0.1 * np.random.default_rng(0).standard_normal(13)
+            ), jnp.float32)
+        cfg = PipelineConfig(gpcv_iters=3, vol_iters=3, data_iters=3, k=4,
+                             nsample=4)
+        s, _ = fit_forecast(jax.random.key(0), x, prices,
+                            x[-1] + x[:3] + 1.0 / 252, cfg)
+        assert s.shape == (4, 3)
+        assert bool(jnp.all(jnp.isfinite(s)))
 
 
 class TestSampleVolPathsContract:

@@ -30,14 +30,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timed(fn, repeats=3):
-    out = jax.device_get(fn())  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jax.device_get(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+from volt_tpu.utils.profiling import timed_best as timed  # noqa: E402
 
 
 def main():

@@ -251,25 +251,44 @@ class GPCVModel(ConfigEq):
         running std subsampled onto the inducing grid.
         """
         kernel_params = self.kernel.init(dtype)
+        lik_params = self.likelihood.init(dtype, key=key)
         kuu = self.kernel(kernel_params, inducing_x)
         from ..gp.variational import running_std_latent_init
 
-        f_full, rs = running_std_latent_init(y)
+        f_exp, rs = running_std_latent_init(y)
         n = train_x.shape[-1]
-        m = inducing_x.shape[-1]
         take = jnp.clip(
             jnp.searchsorted(train_x, inducing_x), 0, n - 1
         )
+        # latent init inverts the likelihood's own scale function (exp:
+        # the running-std log, reference parity; cv: Newton on the
+        # softplus mixture) — same principle as the dense init paths.
+        if self.likelihood.param == "cv":
+            f_full = self.likelihood.latent_from_scale(lik_params, rs)
+        else:
+            f_full = f_exp
         f_m = f_full[..., take]
+        if self.likelihood.param == "cv":
+            hess = self.likelihood.neg_log_prob_hessian(
+                lik_params, y[..., take], f_m
+            )
+            inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3), min=1e-4,
+                                max=1000.0)
+            mean_const = self.likelihood.latent_from_scale(
+                lik_params, jnp.mean(rs, axis=-1)
+            )
+        else:
+            inv_hess = None  # exp closed form inside laplace_initialize
+            mean_const = jnp.log(jnp.mean(rs, axis=-1))
         # no x10 root inflation here: that is a full-rank-parity choice
         # (single_task_variational_gp.py:251); the sparse extension starts
         # at the plain Laplace covariance, which converges much faster.
         state, _ = laplace_initialize(kuu, y[..., take], f=f_m,
-                                      root_scale=1.0)
+                                      root_scale=1.0, inv_hess=inv_hess)
         return {
             "kernel": kernel_params,
-            "mean": {"constant": jnp.log(jnp.mean(rs, axis=-1))[..., None]},
-            "likelihood": self.likelihood.init(dtype, key=key),
+            "mean": {"constant": mean_const[..., None]},
+            "likelihood": lik_params,
             "variational_mean": state.variational_mean,
             "chol_variational_covar": state.chol_variational_covar,
         }

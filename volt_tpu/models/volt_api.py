@@ -74,9 +74,11 @@ class Volt:
         if key is None:
             key = jax.random.key(0)
         if self.batched:
+            # full price series for the mean-reversion latent mean — the
+            # same convention as the unbatched branch / `rollouts`
             return rollouts_multitask(
                 key, self.model, self.vol_model,
-                jnp.exp(self.log_data)[:, 1:], jnp.asarray(test_x),
+                jnp.exp(self.log_data), jnp.asarray(test_x),
                 nsample=nsample, theta=theta if mean_revert else None,
             )
         return rollouts(

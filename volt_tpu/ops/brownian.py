@@ -42,13 +42,14 @@ _LOG_2PI = math.log(2.0 * math.pi)
 def spectral_n_ok(n: int) -> bool:
     """Whether :func:`min_kernel_spectrum` is exact at this ``n``.
 
-    The integer angle reduction computes ``(2k+1) * j`` (max
-    ``~2n(2n+1)``) in int32; beyond ``n ~ 23k`` the products overflow
-    and the eigenvectors silently degrade.  Callers that auto-select the
-    spectral path (``train.py``, ``parallel/pipeline.py``) fall back to
-    the Kalman MLL above this bound, which handles any ``n``.
+    The integer angle reduction computes ``(2k+1) * j`` with
+    ``k <= n-1, j <= n`` — max intermediate ``(2n-1) n`` — in int32;
+    beyond ``n = 32768`` the products overflow and the eigenvectors
+    silently degrade.  Callers that auto-select the spectral path
+    (``train.py``, ``parallel/pipeline.py``) fall back to the Kalman MLL
+    above this bound, which handles any ``n``.
     """
-    return 2 * n * (2 * n + 1) < 2**31
+    return (2 * n - 1) * n < 2**31
 
 
 def min_kernel_spectrum(n: int, dtype=jnp.float32):
@@ -78,7 +79,7 @@ def min_kernel_spectrum(n: int, dtype=jnp.float32):
     if not spectral_n_ok(n):
         raise ValueError(
             f"min_kernel_spectrum: n={n} overflows the int32 angle "
-            f"reduction (needs 2n(2n+1) < 2^31, i.e. n <~ 23169); use the "
+            f"reduction (needs (2n-1)n < 2^31, i.e. n <= 32768); use the "
             f"Kalman MLL path for longer series"
         )
     k = jnp.arange(n)

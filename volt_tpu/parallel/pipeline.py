@@ -92,7 +92,10 @@ def _resolve_config(config: PipelineConfig) -> PipelineConfig:
 
 def _check_spectral_grid(train_x, config: PipelineConfig):
     """Host-side guard: the spectral vol path assumes an equispaced grid.
-    Only possible when ``train_x`` is concrete (skipped under tracing)."""
+    Only possible when ``train_x`` is concrete (skipped under tracing).
+    Degenerate grids (< 3 points) are not an error — the jitted pipeline
+    routes them to the Kalman path (the same static fallback as the
+    spectrum's int32 n-bound)."""
     if config.vol_mll != "spectral" or config.kernel != "bm":
         return
     from ..train import _is_equispaced
@@ -101,10 +104,24 @@ def _check_spectral_grid(train_x, config: PipelineConfig):
         concrete = not isinstance(jnp.asarray(train_x), jax.core.Tracer)
     except Exception:
         concrete = False
-    if concrete and not _is_equispaced(train_x):
+    if (concrete and jnp.asarray(train_x).shape[-1] >= 3
+            and not _is_equispaced(train_x)):
         raise ValueError(
             "vol_mll='spectral' requires an equispaced train_x; use "
             "PipelineConfig(vol_mll='kalman') for irregular grids"
+        )
+
+
+def _check_min_length(train_x):
+    """The GPCV running-std Laplace init pins its first 10 entries to the
+    11th (reference ``single_task_variational_gp.py:213-216`` — which
+    IndexErrors below that); reject shorter series with a clear message
+    instead of a shape error from inside the init."""
+    n = jnp.asarray(train_x).shape[-1]
+    if n < 11:
+        raise ValueError(
+            f"the pipeline needs at least 11 train points (the GPCV "
+            f"running-std init uses the 11th entry), got n={n}"
         )
 
 
@@ -119,6 +136,7 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     path and fitted parameters.
     """
     config = _resolve_config(config)
+    _check_min_length(train_x)
     _check_spectral_grid(train_x, config)
     return _fit_forecast_jit(key, train_x, train_y, test_x, config)
 
@@ -145,6 +163,7 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     from ..ops.brownian import spectral_n_ok
 
     if (config.kernel == "bm" and config.vol_mll == "spectral"
+            and train_x.shape[-1] >= 3
             and spectral_n_ok(train_x.shape[-1])):
         # closed-form min(x) eigensystem (equispaced grids): two basis
         # projections per fit, elementwise O(n) per step, no scan.
@@ -268,6 +287,7 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
     """
     train_ys = jnp.asarray(train_ys)
     config = _resolve_config(config)
+    _check_min_length(train_x)
     _check_spectral_grid(train_x, config)
     if mesh is None:
         return jax.jit(_batched, static_argnames=("config",))(

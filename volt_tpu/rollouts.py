@@ -73,23 +73,30 @@ def sample_vol_paths(key, vol_state, test_x, nsample: int):
     """
     from .kernels import BMKernel
 
-    fast = isinstance(getattr(vol_state.module, "kernel", None), BMKernel)
-    if fast:
-        try:
-            import numpy as np
-
-            tx = np.asarray(test_x)
-            tr_last = np.asarray(vol_state.train_x)[..., -1]
-            if not (np.all(np.diff(tx, axis=-1) > 0)
-                    and np.all(tx[..., 0] > tr_last)):
-                fast = False
-        except Exception:
-            pass  # tracers: trust the rollout contract
+    fast = (isinstance(getattr(vol_state.module, "kernel", None), BMKernel)
+            and _strictly_future(test_x, vol_state.train_x))
     if fast:
         log_paths = vol_state.sample_forecast(key, test_x, (nsample,))
     else:
         log_paths = vol_state.sample(key, test_x, (nsample,))
     return jnp.exp(log_paths)
+
+
+def _strictly_future(test_x, train_x) -> bool:
+    """Host-side probe of the forecast-sampler contract: ``test_x``
+    increasing and strictly after the train grid.  Under tracing (either
+    array abstract) the answer is True — every jitted caller in the
+    package forecasts strictly-future grids, and the fast samplers'
+    contract is documented at their signatures."""
+    try:
+        import numpy as np
+
+        tx = np.asarray(test_x)
+        tr_last = np.asarray(train_x)[..., -1]
+        return bool(np.all(np.diff(tx, axis=-1) > 0)
+                    and np.all(tx[..., 0] > tr_last))
+    except Exception:
+        return True  # tracers: trust the rollout contract
 
 
 # ---------------------------------------------------------------------------
@@ -585,6 +592,10 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
     forecasts are *jointly correlated across assets* through the Kronecker
     task covariance; price paths then evolve per asset via the Markov scan.
     Returns ``(T, nsample, H)`` log-price samples.
+
+    ``train_ys`` is used only for the mean-reversion latent mean (when
+    ``theta`` is set) and should be the *full* ``(T, n+1)`` price series,
+    like :func:`rollouts`' ``train_y``.
     """
     from .kernels import BMKernel
 
@@ -597,18 +608,8 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
     # fast-path contract as sample_vol_paths: strictly-future grids take
     # the Matheron sampler (no (H*T)^2 covariance — mandatory at the
     # 505-ticker scale); anything else falls back to the dense posterior.
-    fast = isinstance(mt_vol_state.module.data_kernel, BMKernel)
-    if fast:
-        try:
-            import numpy as np
-
-            tx = np.asarray(test_x)
-            tr_last = np.asarray(mt_vol_state.train_x)[..., -1]
-            if not (np.all(np.diff(tx, axis=-1) > 0)
-                    and np.all(tx[..., 0] > tr_last)):
-                fast = False
-        except Exception:
-            pass  # tracers: trust the rollout contract
+    fast = (isinstance(mt_vol_state.module.data_kernel, BMKernel)
+            and _strictly_future(test_x, mt_vol_state.train_x))
     if fast:
         log_vols = mt_vol_state.sample_forecast(k_vol, test_x, (nsample,))
     else:

@@ -14,7 +14,7 @@ import time
 
 import jax
 
-__all__ = ["annotate", "trace", "timed"]
+__all__ = ["annotate", "trace", "timed", "timed_best"]
 
 
 def annotate(name: str):
@@ -31,6 +31,23 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def timed_best(fn, repeats: int = 3):
+    """``(best_seconds, result)`` — warm once, then min over repeats.
+
+    The benchmarking idiom for this image's TPU tunnel: completion is
+    forced by ``jax.device_get`` (``block_until_ready`` does not
+    synchronize on axon) and the min filters the tunnel's sporadic
+    multi-second stalls.  Used by the ``tools/`` benchmark harnesses.
+    """
+    result = jax.device_get(fn())  # compile + warm
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        result = jax.device_get(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best, result
 
 
 def timed(fn, *args, warmup: int = 1, repeats: int = 1, **kwargs):
