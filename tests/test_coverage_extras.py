@@ -152,3 +152,92 @@ class TestReferenceAliasSurface:
         assert models.VoltronGP is models.VoltGP
         assert volt_tpu.LearnGPCV is volt_tpu.learn_gpcv
         assert volt_tpu.GeneratePrediction is volt_tpu.generate_prediction
+
+
+class TestFBMIncrementDomainParity:
+    """The FBM paths factorize in increment domain (ops/fbm.py); these pin
+    that the *products* — MLL and posterior — are unchanged vs the dense
+    float64 value-domain oracles they replaced."""
+
+    def _grid_model(self, h=0.7, n=60):
+        from volt_tpu.models.bmgp import BMGP
+
+        module = BMGP(kernel="fbm")
+        params = module.init()
+        params["kernel"]["raw_vol"] = jnp.asarray(
+            [float(np.log(h / (1 - h)))], jnp.float32
+        )  # Interval(0,1) sigmoid -> vol = h
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        rng = np.random.default_rng(7)
+        y = jnp.asarray(
+            np.cumsum(0.02 * rng.standard_normal(n)).astype(np.float32)
+        )
+        return module, params, x, y
+
+    def test_mll_matches_dense_oracle(self):
+        module, params, x, y = self._grid_model()
+        got = float(module.mll(params, x, y))
+        # float64 dense oracle: log N(y; mean, K + s I) / n
+        h = float(module.kernel.vol(params["kernel"])[0])
+        xs = np.asarray(x, np.float64)
+        s_ = np.abs(xs[:, None]); t_ = np.abs(xs[None, :])
+        d_ = np.abs(xs[:, None] - xs[None, :])
+        k = 0.5 * (s_ ** (2 * h) + t_ ** (2 * h) - d_ ** (2 * h))
+        noise = float(module.likelihood.noise(params["likelihood"])[0])
+        mean = -0.5 * h**2 * xs
+        import scipy.stats
+
+        expected = scipy.stats.multivariate_normal.logpdf(
+            np.asarray(y, np.float64), mean, k + noise * np.eye(len(xs))
+        ) / len(xs)
+        np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+    def test_posterior_matches_dense_oracle(self):
+        module, params, x, y = self._grid_model(h=0.55, n=50)
+        test_x = x[-1] + jnp.arange(1, 6, dtype=jnp.float32) / 252.0
+        mean, cov = module.posterior(params, x, y, test_x)
+        h = float(module.kernel.vol(params["kernel"])[0])
+        xs = np.asarray(x, np.float64)
+        ts = np.asarray(test_x, np.float64)
+        xa = np.concatenate([xs, ts])
+
+        def gram(a, b):
+            return 0.5 * (
+                np.abs(a[:, None]) ** (2 * h) + np.abs(b[None, :]) ** (2 * h)
+                - np.abs(a[:, None] - b[None, :]) ** (2 * h)
+            )
+
+        noise = float(module.likelihood.noise(params["likelihood"])[0])
+        k_tr = gram(xs, xs) + noise * np.eye(len(xs))
+        k_cr = gram(xs, ts)
+        resid = np.asarray(y, np.float64) + 0.5 * h**2 * xs
+        sol = np.linalg.solve(k_tr, np.column_stack([resid[:, None], k_cr]))
+        m_exp = k_cr.T @ sol[:, 0] - 0.5 * h**2 * ts
+        c_exp = gram(ts, ts) - k_cr.T @ sol[:, 1:]
+        np.testing.assert_allclose(np.asarray(mean), m_exp, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cov), c_exp, atol=2e-4)
+
+    def test_gpcv_elbo_finite_at_adversarial_hurst(self):
+        # H -> 0.9 at n in the hundreds is where the value-domain float32
+        # factorization NaN'd whole lanes mid-fit (BENCH_SCALING.md round-3
+        # FBM table); the increment-domain ELBO must stay finite AND keep a
+        # finite gradient through the Hurst parameter.
+        from volt_tpu.models.gpcv import GPCVModel
+
+        n = 399
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        rng = np.random.default_rng(3)
+        y = jnp.asarray((0.02 * rng.standard_normal(n)).astype(np.float32))
+        module = GPCVModel(kernel="fbm")
+        params = module.init(x, y)
+        params["kernel"]["raw_vol"] = jnp.asarray(
+            [float(np.log(0.9 / 0.1))], jnp.float32
+        )
+        val, grads = jax.value_and_grad(
+            lambda p: module.elbo(p, x, y)
+        )(params)
+        assert bool(jnp.isfinite(val))
+        leaves = jax.tree.leaves(jax.tree.map(
+            lambda g: jnp.all(jnp.isfinite(g)), grads
+        ))
+        assert all(bool(v) for v in leaves)

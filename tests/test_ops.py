@@ -329,3 +329,127 @@ class TestVolIntegral:
         analytic = ops.brownian_cholesky(integral)
         dense = np.linalg.cholesky(np.asarray(ops.min_index_covariance(integral)))
         np.testing.assert_allclose(analytic, dense, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# FBM increment-domain factorization (ops/fbm.py)
+# ---------------------------------------------------------------------------
+
+
+def _fbm_gram(x, two_h):
+    """float64 oracle for the FBMKernel Gram matrix (FBMKernel.py:38-59)."""
+    x = np.asarray(x, np.float64)
+    s = np.abs(x[:, None])
+    t = np.abs(x[None, :])
+    d = np.abs(x[:, None] - x[None, :])
+    return 0.5 * (s**two_h + t**two_h - d**two_h)
+
+
+class TestFbmCholesky:
+    @pytest.mark.parametrize("h", [0.1, 0.3, 0.5, 0.7, 0.9])
+    def test_reconstructs_gram(self, h):
+        n = 120
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        chol = ops.fbm_cholesky(x, jnp.asarray(2.0 * h, jnp.float32))
+        k = _fbm_gram(x, 2.0 * h)
+        got = np.asarray(chol, np.float64)
+        np.testing.assert_allclose(got @ got.T, k, atol=2e-5)
+        # lower-triangular with the exact prior diagonal
+        np.testing.assert_allclose(got, np.tril(got))
+
+    def test_noise_cholesky_reconstructs(self):
+        n = 80
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        noise = 0.013
+        chol = ops.fbm_noise_cholesky(
+            x, jnp.asarray(1.4, jnp.float32), jnp.asarray(noise, jnp.float32)
+        )
+        k = _fbm_gram(x, 1.4) + noise * np.eye(n)
+        got = np.asarray(chol, np.float64)
+        np.testing.assert_allclose(got @ got.T, k, atol=2e-5)
+
+    def test_robust_where_value_domain_fails(self):
+        # H = 0.9, n = 400: cond(K) ~ 1.5e8 — the float32 value-domain
+        # Cholesky (and gpytorch's ladder on the reference) fails outright;
+        # the increment-domain factor is exact and finite.
+        n = 400
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        k32 = jnp.asarray(_fbm_gram(x, 1.8), jnp.float32)
+        naive = jnp.linalg.cholesky(k32)
+        assert not bool(jnp.all(jnp.isfinite(naive)))
+        chol = ops.fbm_cholesky(x, jnp.asarray(1.8, jnp.float32))
+        assert bool(jnp.all(jnp.isfinite(chol)))
+        got = np.asarray(chol, np.float64)
+        k = _fbm_gram(x, 1.8)
+        assert np.max(np.abs(got @ got.T - k)) / np.max(np.abs(k)) < 1e-4
+
+    def test_batched_two_h(self):
+        n = 32
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        two_h = jnp.asarray([[0.6], [1.2]], jnp.float32)  # (B, 1) kernel vol
+        chol = ops.fbm_cholesky(x, two_h)
+        assert chol.shape == (2, n, n)
+        for b, th in enumerate([0.6, 1.2]):
+            got = np.asarray(chol[b], np.float64)
+            np.testing.assert_allclose(got @ got.T, _fbm_gram(x, th),
+                                       atol=2e-5)
+
+    def test_gradient_wrt_hurst_finite(self):
+        # d/dH |dt|^{2H} involves 0^{2H} log 0 terms on the diagonal; the
+        # factorization must stay differentiable for the Hurst fit.
+        n = 64
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+
+        def f(th):
+            chol = ops.fbm_cholesky(x, th)
+            return jnp.sum(jnp.log(jnp.diagonal(chol))) + jnp.sum(chol[-1])
+
+        g = jax.grad(f)(jnp.asarray(1.0, jnp.float32))
+        assert bool(jnp.isfinite(g))
+
+
+class TestMvnKlUnconstrainedRoot:
+    def test_negative_root_diagonal_keeps_value_finite(self, rng):
+        # gpytorch's CholeskyVariationalDistribution leaves the root's
+        # diagonal unconstrained, and Adam drives it negative mid-fit;
+        # Sigma = L L^T is unchanged, so the KL value must stay finite
+        # (log|diag|).  Without the abs, every FBM GPCV fit's loss
+        # trajectory NaN'd transiently and the pipeline's per-asset
+        # `ok` flag condemned healthy lanes.
+        n = 6
+        chol_q = jnp.asarray(np.tril(rng.standard_normal((n, n))
+                                     + 2.0 * np.eye(n)), jnp.float32)
+        chol_q_neg = chol_q.at[2, 2].multiply(-1.0).at[5, 5].multiply(-1.0)
+        chol_p = jnp.asarray(np.linalg.cholesky(_rand_psd(rng, n)),
+                             jnp.float32)
+        mq = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        mp = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        kl_neg = ops.mvn_kl(mq, chol_q_neg, mp, chol_p)
+        assert bool(jnp.isfinite(kl_neg))
+        q_cov = np.asarray(chol_q_neg, np.float64)
+        q_cov = q_cov @ q_cov.T
+        p_chol = np.asarray(chol_p, np.float64)
+        p_cov = p_chol @ p_chol.T
+        diff = np.asarray(mp, np.float64) - np.asarray(mq, np.float64)
+        expected = 0.5 * (
+            np.trace(np.linalg.solve(p_cov, q_cov))
+            + diff @ np.linalg.solve(p_cov, diff)
+            - n
+            + np.linalg.slogdet(p_cov)[1]
+            - np.linalg.slogdet(q_cov)[1]
+        )
+        np.testing.assert_allclose(float(kl_neg), expected, rtol=1e-4)
+
+    def test_gradient_matches_log_abs(self, rng):
+        n = 5
+        base = np.tril(rng.standard_normal((n, n)) + 2.0 * np.eye(n))
+        base[3, 3] *= -1.0
+        chol_p = jnp.asarray(np.linalg.cholesky(_rand_psd(rng, n)),
+                             jnp.float32)
+        mq = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        mp = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+        g = jax.grad(
+            lambda c: ops.mvn_kl(mq, c, mp, chol_p)
+        )(jnp.asarray(base, jnp.float32))
+        assert bool(jnp.all(jnp.isfinite(g)))

@@ -55,14 +55,16 @@ def exact_mll(y, mean, cov, noise, jitter: float | None = None):
 
 
 def posterior(k_tr, k_tr_te, k_te, residual, noise,
-              jitter: float | None = None):
+              jitter: float | None = None, chol_tr=None):
     """Latent posterior ``p(f* | y)`` with noisy conditioning.
 
     ``mean* = K_*^T (K + sigma^2 I)^{-1} residual`` (add the test prior mean
     yourself), ``cov* = K_** - K_*^T (K + sigma^2 I)^{-1} K_*``.
+    ``chol_tr`` optionally supplies a precomputed factor of
+    ``K + sigma^2 I`` (e.g. FBM's increment-domain one).
     """
     return conditional(_add_noise(k_tr, noise), k_tr_te, k_te, residual,
-                       jitter=jitter)
+                       jitter=jitter, chol_tr=chol_tr)
 
 
 class FixedCovCache(NamedTuple):

@@ -323,18 +323,21 @@ def kron_kl_bm_prior(mean_q, root_x, root_t, mean_p, x, vol, k_task,
     return 0.5 * (trace + quad - n * t + logdet_p - logdet_q)
 
 
-def kron_kl(mean_q, root_x, root_t, mean_p, k_data, k_task):
+def kron_kl(mean_q, root_x, root_t, mean_p, k_data, k_task,
+            chol_data=None):
     """``KL(N(vec(m_q), Sx (x) St) || N(vec(m_p), Kd (x) Kt))``.
 
     ``root_x`` / ``root_t``: lower-triangular roots of the variational
     factors (``Sx = Rx Rx^T``), as in the reference's
     ``variational_covar_root.tril()`` parameterization
     (``multi_task_variational_gp.py:95-111``).  Means are ``(..., N, T)``.
+    ``chol_data`` optionally supplies a structure-aware factor of the
+    data kernel (FBM's increment-domain one, ``ops/fbm.py``).
     """
     n, t = mean_q.shape[-2], mean_q.shape[-1]
     rx = jnp.tril(root_x)
     rt = jnp.tril(root_t)
-    ld = psd_safe_cholesky(k_data)
+    ld = chol_data if chol_data is not None else psd_safe_cholesky(k_data)
     lt = psd_safe_cholesky(k_task)
 
     # trace term: tr((Kd (x) Kt)^{-1} (Sx (x) St)) = tr(Kd^{-1}Sx) tr(Kt^{-1}St)

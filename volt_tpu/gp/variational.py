@@ -56,7 +56,8 @@ def _tril(x):
 def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
                      expected_log_prob_fn, num_data=None, beta: float = 1.0,
                      chol_jitter: float | None = None,
-                     chol_max_tries: int = 3):
+                     chol_max_tries: int = 3,
+                     chol_p=None):
     """Variational ELBO with inducing == train == query.
 
     ``elbo = mean_i E_q[log p(y_i | f_i)] - beta * KL(q || p) / num_data``
@@ -65,11 +66,12 @@ def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
     ``expected_log_prob_fn(y, mean, var)`` returns the per-datum expected
     log-likelihood (e.g. the volatility likelihood's GH quadrature).
 
-    ``chol_jitter`` / ``chol_max_tries`` tune the prior factorization's
-    jitter ladder — the FBM prior is near-singular in float32 at n in
-    the hundreds and needs a deeper ladder than gpytorch's 1e-6 x10^3
-    (measured: 4/8 NaN lanes at n=399 with the default ladder, 1/8 with
-    1e-5 x10^5 — the remaining lane is the per-asset ``ok`` flag's job).
+    ``chol_p`` is an optional precomputed lower Cholesky of ``kuu`` —
+    kernels with structure-aware factorizations pass it (FBM's
+    increment-domain factor, ``FBMKernel.prior_cholesky``: the
+    value-domain ladder lost 1-4 of 8 lanes per batch to the
+    near-singular float32 prior; the increment-domain one loses none).
+    ``chol_jitter`` / ``chol_max_tries`` tune the fallback ladder.
     """
     n = y.shape[-1]
     if num_data is None:
@@ -77,23 +79,26 @@ def elbo_at_inducing(state: VariationalState, prior_mean, kuu, y,
     chol_q = _tril(state.chol_variational_covar)
     marg_var = jnp.sum(chol_q * chol_q, axis=-1)
     ell = expected_log_prob_fn(y, state.variational_mean, marg_var)
-    chol_p = psd_safe_cholesky(kuu, jitter=chol_jitter,
-                               max_tries=chol_max_tries)
+    if chol_p is None:
+        chol_p = psd_safe_cholesky(kuu, jitter=chol_jitter,
+                                   max_tries=chol_max_tries)
     kl = mvn_kl(state.variational_mean, chol_q, prior_mean, chol_p)
     return jnp.mean(ell, axis=-1) - kl * beta / num_data
 
 
 def variational_predict(state: VariationalState, prior_mean_u, kuu,
-                        kux, prior_mean_x, kxx_diag=None, kxx=None):
+                        kux, prior_mean_x, kxx_diag=None, kxx=None,
+                        chol_kuu=None):
     """Unwhitened predictive at arbitrary points ``x``.
 
     ``mean = Kxu Kuu^{-1} (m - mu_u) + mu_x``
     ``cov  = Kxx - Kxu Kuu^{-1} (Kuu - S) Kuu^{-1} Kux``
 
-    Pass ``kxx`` for a full covariance or ``kxx_diag`` for marginals only.
-    Returns ``(mean, var_or_cov)``.
+    Pass ``kxx`` for a full covariance or ``kxx_diag`` for marginals only;
+    ``chol_kuu`` optionally supplies a structure-aware prior factor (see
+    :func:`elbo_at_inducing`).  Returns ``(mean, var_or_cov)``.
     """
-    chol = psd_safe_cholesky(kuu)
+    chol = chol_kuu if chol_kuu is not None else psd_safe_cholesky(kuu)
     kuu_inv_kux = cholesky_solve(chol, kux)  # (..., n_u, n_x)
     diff = (state.variational_mean - prior_mean_u)[..., None]
     mean = (
@@ -210,7 +215,7 @@ def running_std_latent_init(y, clamp_min: float = 1e-4):
 
 
 def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
-                       inv_hess=None):
+                       inv_hess=None, chol_kuu=None):
     """Laplace-style variational init for the ``"exp"`` parameterization.
 
     Reference ``single_task_variational_gp.py:204-254``:
@@ -226,6 +231,8 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
     ``inv_hess`` overrides the exp-parameterization curvature (the cv
     init passes the exact autodiff Hessian of its own likelihood —
     ``models/gpcv.py``); when omitted the exp closed form above is used.
+    ``chol_kuu`` optionally supplies a structure-aware prior factor
+    (see :func:`elbo_at_inducing`).
     """
     y = jnp.asarray(y)
     if f is None:
@@ -240,7 +247,8 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
             0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
         )
 
-    chol_kuu = psd_safe_cholesky(kuu)
+    if chol_kuu is None:
+        chol_kuu = psd_safe_cholesky(kuu)
     inner = jnp.matmul(
         jnp.swapaxes(chol_kuu, -1, -2) * inv_hess[..., None, :],
         chol_kuu,

@@ -122,6 +122,31 @@ class FBMKernel(ConfigEq):
             return jnp.diagonal(cov, axis1=-2, axis2=-1)
         return cov
 
+    def prior_cholesky(self, params, x, jitter=None, max_tries: int = 3):
+        """Lower Cholesky of ``K(x, x)`` via the increment-domain identity.
+
+        ``x`` must be an increasing non-negative grid (every consumer's
+        grid is ``arange(1..n) * dt``).  Exact for the Gram matrix but
+        factorized through the far-better-conditioned fGn increment
+        covariance (:mod:`volt_tpu.ops.fbm`): float32-robust where the
+        value-domain Cholesky fails outright (H ~ 0.9, n in the
+        hundreds — the reference's gpytorch ladder raises ``NotPSDError``
+        there, ``kernels/FBMKernel.py:38-59`` + gpytorch
+        ``psd_safe_cholesky``).
+        """
+        from ..ops.fbm import fbm_cholesky
+
+        return fbm_cholesky(_as_grid(x), 2.0 * self.vol(params),
+                            jitter=jitter, max_tries=max_tries)
+
+    def noise_cholesky(self, params, x, noise, jitter=None,
+                       max_tries: int = 3):
+        """Lower Cholesky of ``K(x, x) + noise I`` in increment domain."""
+        from ..ops.fbm import fbm_noise_cholesky
+
+        return fbm_noise_cholesky(_as_grid(x), 2.0 * self.vol(params),
+                                  noise, jitter=jitter, max_tries=max_tries)
+
 
 class OUKernel(ConfigEq):
     """Ornstein–Uhlenbeck / exponential kernel ``exp(-|s - t| / (2 l))``.

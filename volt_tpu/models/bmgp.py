@@ -75,8 +75,19 @@ class BMGP(ConfigEq):
         return -0.5 * vol**2.0 * x
 
     def mll(self, params, x, y):
-        cov = self.kernel(params["kernel"], x)
         noise = self.likelihood.noise(params["likelihood"])
+        if isinstance(self.kernel, FBMKernel):
+            # factorize K + s I in increment domain (FBMKernel
+            # .noise_cholesky): exact, but conditioned like fGn — the
+            # value-domain Cholesky fails in float32 at H ~ 0.9 for n in
+            # the hundreds (ops/fbm.py), i.e. in the middle of a fit
+            # whenever the Hurst trajectory wanders high.
+            from ..ops.mvn import mvn_log_prob_chol
+
+            chol = self.kernel.noise_cholesky(params["kernel"], x, noise)
+            n = y.shape[-1]
+            return mvn_log_prob_chol(y, self.mean(params, x), chol) / n
+        cov = self.kernel(params["kernel"], x)
         return exact_mll(y, self.mean(params, x), cov, noise)
 
     # -- factorization-free training path (BM kernel only) ------------------
@@ -247,7 +258,13 @@ class BMGP(ConfigEq):
         k_te = self.kernel(params["kernel"], test_x)
         resid = train_y - self.mean(params, train_x)
         noise = self.likelihood.noise(params["likelihood"])
-        mean, cov = posterior(k_tr, k_tr_te, k_te, resid, noise)
+        chol_tr = None
+        if isinstance(self.kernel, FBMKernel):
+            # increment-domain factor of K + s I (see mll)
+            chol_tr = self.kernel.noise_cholesky(params["kernel"], train_x,
+                                                 noise)
+        mean, cov = posterior(k_tr, k_tr_te, k_te, resid, noise,
+                              chol_tr=chol_tr)
         return mean + self.mean(params, test_x), cov
 
     def sample(self, key, params, train_x, train_y, test_x, sample_shape=()):

@@ -116,14 +116,16 @@ class GPCVModel(ConfigEq):
         # recovery (measured, n=149 SABR; same precedent as the
         # tridiag/sparse inits).
         root_scale = 10.0 if isinstance(self.kernel, BMKernel) else 1.0
+        chol_kuu = self._prior_chol(kernel_params, train_x)
         if self.likelihood.param == "cv":
             f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
             var_state, _ = laplace_initialize(kuu, y, f=f,
                                               inv_hess=inv_hess,
-                                              root_scale=root_scale)
+                                              root_scale=root_scale,
+                                              chol_kuu=chol_kuu)
         else:
             var_state, mean_const = laplace_initialize(
-                kuu, y, root_scale=root_scale
+                kuu, y, root_scale=root_scale, chol_kuu=chol_kuu
             )
         return {
             "kernel": kernel_params,
@@ -132,6 +134,20 @@ class GPCVModel(ConfigEq):
             "variational_mean": var_state.variational_mean,
             "chol_variational_covar": var_state.chol_variational_covar,
         }
+
+    def _prior_chol(self, kernel_params, x):
+        """Structure-aware prior Cholesky, or ``None`` for the default.
+
+        FBM routes through the increment-domain factorization
+        (:mod:`volt_tpu.ops.fbm`): exact for ``K(x, x)`` but conditioned
+        like fractional Gaussian noise (cond ~1e3 instead of ~1e8), which
+        eliminated the per-lane float32 Cholesky failures the deep jitter
+        ladder could only contain (BENCH_SCALING.md round-3 FBM table).
+        BM never factorizes a prior (closed forms throughout).
+        """
+        if isinstance(self.kernel, FBMKernel):
+            return self.kernel.prior_cholesky(kernel_params, x)
+        return None
 
     def _cv_laplace_pieces(self, lik_params, y):
         """The cv-parameterization Laplace ingredients: latent init from
@@ -231,11 +247,12 @@ class GPCVModel(ConfigEq):
                 state.variational_mean, chol_q, prior_mean,
             )
             return jnp.mean(ell_vals, axis=-1) - kl / n
-        kuu = self.kernel(params["kernel"], train_x)
-        # deeper jitter ladder for the near-singular FBM prior (see
-        # elbo_at_inducing's docstring; BM never reaches this branch)
-        return elbo_at_inducing(state, prior_mean, kuu, y, ell,
-                                chol_jitter=1e-5, chol_max_tries=5)
+        # FBM (BM never reaches this branch): the prior factor comes from
+        # the increment domain, so no kuu build or deep ladder is needed.
+        return elbo_at_inducing(
+            state, prior_mean, None, y, ell,
+            chol_p=self._prior_chol(params["kernel"], train_x),
+        )
 
     def init_sparse(self, train_x, inducing_x, y, key=None,
                     dtype=jnp.float32):
@@ -283,8 +300,10 @@ class GPCVModel(ConfigEq):
         # no x10 root inflation here: that is a full-rank-parity choice
         # (single_task_variational_gp.py:251); the sparse extension starts
         # at the plain Laplace covariance, which converges much faster.
-        state, _ = laplace_initialize(kuu, y[..., take], f=f_m,
-                                      root_scale=1.0, inv_hess=inv_hess)
+        state, _ = laplace_initialize(
+            kuu, y[..., take], f=f_m, root_scale=1.0, inv_hess=inv_hess,
+            chol_kuu=self._prior_chol(kernel_params, inducing_x),
+        )
         return {
             "kernel": kernel_params,
             "mean": {"constant": mean_const[..., None]},
@@ -302,8 +321,10 @@ class GPCVModel(ConfigEq):
         kxx_diag = self.kernel(params["kernel"], train_x, diag=True)
         prior_u = self.mean(params["mean"], inducing_x)
         prior_x = self.mean(params["mean"], train_x)
+        chol_kuu = self._prior_chol(params["kernel"], inducing_x)
         mean, var = variational_predict(state, prior_u, kuu, kux, prior_x,
-                                        kxx_diag=kxx_diag)
+                                        kxx_diag=kxx_diag,
+                                        chol_kuu=chol_kuu)
         var = jnp.maximum(var, 1e-8)
         ell = self.likelihood.expected_log_prob(
             params["likelihood"], y, mean, var, num_locs=self.num_locs
@@ -316,12 +337,11 @@ class GPCVModel(ConfigEq):
                 jnp.tril(state.chol_variational_covar), prior_u,
             )
         else:
-            from ..ops.chol import psd_safe_cholesky
             from ..ops.mvn import mvn_kl
 
             kl = mvn_kl(state.variational_mean,
                         jnp.tril(state.chol_variational_covar), prior_u,
-                        psd_safe_cholesky(kuu))
+                        chol_kuu)
         return jnp.mean(ell, axis=-1) - kl / n
 
     def latent_marginals(self, params, train_x, test_x=None):
@@ -345,8 +365,10 @@ class GPCVModel(ConfigEq):
         kxx_diag = self.kernel(params["kernel"], test_x, diag=True)
         prior_u = self.mean(params["mean"], train_x)
         prior_x = self.mean(params["mean"], test_x)
-        return variational_predict(state, prior_u, kuu, kux, prior_x,
-                                   kxx_diag=kxx_diag)
+        return variational_predict(
+            state, prior_u, kuu, kux, prior_x, kxx_diag=kxx_diag,
+            chol_kuu=self._prior_chol(params["kernel"], train_x),
+        )
 
     def _predict_tridiag(self, params, d, e, m, train_x, test_x):
         """Unwhitened predictive marginals with the tridiag q.

@@ -306,7 +306,9 @@ class MultitaskVariationalGP(ConfigEq):
         mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
 
         kuu = self.data_kernel(params["data_kernel"], x)
-        chol = psd_safe_cholesky(kuu)
+        chol = self._data_chol(params, x)
+        if chol is None:
+            chol = psd_safe_cholesky(kuu)
         inner = _mm(jnp.swapaxes(chol, -1, -2) * mean_inv_hess[None, :], chol)
         inner = inner + jnp.eye(inner.shape[-1], dtype=inner.dtype)
         # inner^{-1/2} via its Cholesky: inner = C C^T  =>  root = L C^{-T}
@@ -338,6 +340,13 @@ class MultitaskVariationalGP(ConfigEq):
         return jnp.broadcast_to(params["mean_constants"],
                                 (n, self.num_tasks))
 
+    def _data_chol(self, params, x):
+        """Structure-aware data-prior Cholesky (FBM increment-domain
+        factor, ``ops/fbm.py``) or ``None`` for the default ladder."""
+        if isinstance(self.data_kernel, FBMKernel):
+            return self.data_kernel.prior_cholesky(params["data_kernel"], x)
+        return None
+
     def kl_divergence(self, params, x):
         """KL(q || p) with both sides Kronecker (reference ``:95-111``).
 
@@ -365,6 +374,7 @@ class MultitaskVariationalGP(ConfigEq):
             self.prior_mean(params, x),
             kuu,
             k_task,
+            chol_data=self._data_chol(params, x),
         )
 
     def marginal_variances(self, params):
@@ -397,7 +407,9 @@ class MultitaskVariationalGP(ConfigEq):
         kxx = self.data_kernel(params["data_kernel"], test_x)
         b = self.index_kernel.covar_matrix(params["index_kernel"])
 
-        chol = psd_safe_cholesky(kuu)
+        chol = self._data_chol(params, train_x)
+        if chol is None:
+            chol = psd_safe_cholesky(kuu)
         kuu_inv_kux = cholesky_solve(chol, kux)  # (N, M)
         inner_mean = params["variational_mean"] - self.prior_mean(
             params, train_x

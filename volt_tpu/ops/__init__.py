@@ -15,6 +15,7 @@ from .chol import (
 )
 from .constraints import GreaterThan, Interval, Positive, inv_softplus, softplus
 from .ewma import ewma, ewma_weights, window_append, window_init, window_value
+from .fbm import fbm_cholesky, fbm_increment_cov, fbm_noise_cholesky
 from .mvn import conditional, mvn_kl, mvn_log_prob, mvn_log_prob_chol, sample_mvn
 from .quadrature import DEFAULT_NUM_LOCS, expected_value, gauss_hermite_nodes
 from .volint import (
@@ -37,6 +38,9 @@ __all__ = [
     "inv_softplus",
     "softplus",
     "ewma",
+    "fbm_cholesky",
+    "fbm_increment_cov",
+    "fbm_noise_cholesky",
     "ewma_weights",
     "window_append",
     "window_init",

@@ -62,6 +62,16 @@ def mvn_kl(mean_q, chol_q, mean_p, chol_p):
 
     Cholesky-parameterized for stability: trace and quadratic terms are
     triangular solves, log-dets are diagonal sums.
+
+    ``chol_q`` is typically a raw *parameterized* root (gpytorch's
+    ``CholeskyVariationalDistribution`` leaves the diagonal
+    unconstrained), so Adam can drive its diagonal negative mid-fit;
+    ``Lq Lq^T`` is unchanged and ``log|Sq| = 2 sum log |diag|``, so the
+    absolute value keeps the KL *value* finite there — dropping it makes
+    the loss trajectory (and any `isfinite(loss)` health flag) NaN while
+    the gradients (``1/diag``) remain exactly those of ``log|diag|``.
+    Same policy as the BM closed form (``ops/brownian.py``) and
+    ``gp/kronecker._tri_logdet``.
     """
     n = mean_q.shape[-1]
     # tr(Sp^{-1} Sq) = || Lp^{-1} Lq ||_F^2
@@ -69,22 +79,27 @@ def mvn_kl(mean_q, chol_q, mean_p, chol_p):
     trace = jnp.sum(a * a, axis=(-2, -1))
     quad = tril_inverse_quad(chol_p, mean_p - mean_q)
     logdet_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_p, axis1=-2, axis2=-1)), -1)
-    logdet_q = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_q, axis1=-2, axis2=-1)), -1)
+    logdet_q = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_q, axis1=-2, axis2=-1))), -1
+    )
     return 0.5 * (trace + quad - n + logdet_p - logdet_q)
 
 
-def conditional(k_tr, k_tr_te, k_te, residual, jitter: float | None = None):
+def conditional(k_tr, k_tr_te, k_te, residual, jitter: float | None = None,
+                chol_tr=None):
     """Gaussian conditional of test points given exact train observations.
 
     Mirrors the reference's one-step conditional (``rollout_utils.py:26-44``):
     ``mean = K_te_tr (K_tr)^{-1} residual``,
     ``cov  = K_te - K_te_tr (K_tr)^{-1} K_tr_te``,
-    with a psd-safe Cholesky of ``K_tr`` (reference passes ``jitter=1e-4``).
+    with a psd-safe Cholesky of ``K_tr`` (reference passes ``jitter=1e-4``)
+    unless ``chol_tr`` supplies a precomputed (e.g. structure-aware) factor.
 
     ``residual`` is ``y_train - mean_train`` shaped ``(..., n)``.
     Returns ``(cond_mean (..., m), cond_cov (..., m, m))``.
     """
-    chol = psd_safe_cholesky(k_tr, jitter=jitter)
+    chol = chol_tr if chol_tr is not None \
+        else psd_safe_cholesky(k_tr, jitter=jitter)
     solved = cholesky_solve(chol, residual[..., None])
     k_te_tr = jnp.swapaxes(k_tr_te, -1, -2)
     cond_mean = _mm(k_te_tr, solved)
