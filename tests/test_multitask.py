@@ -375,3 +375,78 @@ class TestKronKLBMPrior:
             module.index_kernel.covar_matrix(params["index_kernel"]),
         ))
         assert fast == pytest.approx(dense, rel=2e-4)
+
+
+class TestMultitaskFBM:
+    """The FBM data-kernel variants route their prior factorizations
+    through the increment domain (``ops/fbm.py``); these pin the wired
+    sites — init, KL, predict — at a Hurst/n where the value-domain
+    float32 Cholesky fails outright."""
+
+    def _setup(self, h=0.85, n=200, t=3):
+        mt = MultitaskVariationalGP(num_tasks=t, kernel="fbm")
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) / 252.0
+        rng = np.random.default_rng(11)
+        y = jnp.asarray(
+            (0.02 * rng.standard_normal((n, t))).astype(np.float32)
+        )
+        params = mt.init(x)
+        params["data_kernel"]["raw_vol"] = jnp.asarray(
+            [float(np.log(h / (1 - h)))], jnp.float32
+        )
+        lik = VolatilityGaussianLikelihood(param="exp")
+        lik_params = lik.init()
+        params = mt.initialize_variational_parameters(
+            params, lik, lik_params, x, y
+        )
+        return mt, params, lik, lik_params, x, y
+
+    def test_init_elbo_predict_finite_at_high_hurst(self):
+        mt, params, lik, lik_params, x, y = self._setup()
+        for leaf in jax.tree.leaves(params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        val, grads = jax.value_and_grad(
+            lambda p: mt.elbo(p, x, y, lik, lik_params)
+        )(params)
+        assert bool(jnp.isfinite(val))
+        for leaf in jax.tree.leaves(grads):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        test_x = x[-1] + jnp.arange(1, 4, dtype=jnp.float32) / 252.0
+        mean, cov = mt.predict(params, x, test_x)
+        assert bool(jnp.all(jnp.isfinite(mean)))
+        assert bool(jnp.all(jnp.isfinite(cov)))
+
+    def test_fbm_kl_matches_dense_float64_oracle(self):
+        # moderate shape so the float64 dense oracle itself is trustworthy
+        mt, params, _, _, x, y = self._setup(h=0.6, n=40, t=2)
+        got = float(mt.kl_divergence(params, x))
+
+        h = float(mt.data_kernel.vol(params["data_kernel"])[0])
+        xs = np.asarray(x, np.float64)
+        k_data = 0.5 * (
+            np.abs(xs[:, None]) ** (2 * h) + np.abs(xs[None, :]) ** (2 * h)
+            - np.abs(xs[:, None] - xs[None, :]) ** (2 * h)
+        )
+        k_task = np.asarray(
+            mt.index_kernel.covar_matrix(params["index_kernel"]), np.float64
+        )
+        rx = np.tril(np.asarray(params["variational_covar_root"], np.float64))
+        rt = np.tril(
+            np.asarray(params["variational_task_covar_root"], np.float64)
+        )
+        mq = np.asarray(params["variational_mean"], np.float64)
+        mp = np.asarray(mt.prior_mean(params, x), np.float64)
+        p_cov = np.kron(k_data, k_task)
+        root = np.kron(rx, rt)
+        q_cov = root @ root.T
+        diff = (mp - mq).reshape(-1)
+        nt = diff.shape[0]
+        sol = np.linalg.solve(p_cov, np.column_stack([diff[:, None], q_cov]))
+        expected = 0.5 * (
+            np.trace(sol[:, 1:])
+            + diff @ sol[:, 0]
+            - nt
+            + np.linalg.slogdet(p_cov)[1]
+            - np.linalg.slogdet(q_cov)[1]
+        )
+        np.testing.assert_allclose(got, expected, rtol=5e-3)
