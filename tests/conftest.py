@@ -9,8 +9,11 @@ import os
 
 # VOLT_TPU_TESTS=1 leaves the real TPU backend in place for the opt-in
 # on-chip smoke lane (`pytest -m tpu`, tests/test_tpu_smoke.py); the
-# default suite runs on 8 virtual CPU devices.
-_TPU_LANE = bool(os.environ.get("VOLT_TPU_TESTS"))
+# default suite runs on 8 virtual CPU devices.  `=0`/`=false` count as
+# off (the conventional env idiom), not as "non-empty therefore on".
+_TPU_LANE = os.environ.get("VOLT_TPU_TESTS", "").lower() not in (
+    "", "0", "false", "no",
+)
 
 if not _TPU_LANE:
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -10,7 +10,6 @@ Usage:  python tools/ablate_stages.py [n_assets] [ntrain]
 
 import os
 import sys
-import time
 
 # repo root on sys.path for `python tools/ablate_stages.py` — deliberately
 # NOT via PYTHONPATH, which the axon plugin's subprocess would inherit and
@@ -23,16 +22,6 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def timed(fn, repeats=3):
-    fn()  # warm/compile
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main():
@@ -58,6 +47,8 @@ def main():
         "data_1": {"data_iters": 1},
         "mc_1path": {"nsample": 1},
     }
+    from volt_tpu.utils.profiling import timed_best
+
     out = {}
     for name, delta in variants.items():
         cfg = PipelineConfig(**{**base, **delta})
@@ -65,10 +56,10 @@ def main():
         def run():
             s, _ = fit_forecast_batch(jax.random.key(0), train_x, train_ys,
                                       test_x, cfg)
-            got = jax.device_get(s)
-            assert np.isfinite(got).all(), name
+            return s
 
-        out[name] = timed(run)
+        out[name], got = timed_best(run, repeats=3)
+        assert np.isfinite(np.asarray(got)).all(), name
         print(f"{name:10s} {out[name]*1e3:9.1f} ms", flush=True)
 
     full = out["full"]

@@ -54,20 +54,20 @@ def main():
         test_x = train_x[-1] + dt * jnp.arange(1, args.horizon + 1,
                                                dtype=jnp.float32)
 
+        from volt_tpu.utils.profiling import timed_best
+
         def run(key):
             s, aux = fit_forecast_batch(key, train_x, jnp.asarray(f),
                                         test_x, cfg)
-            return jax.device_get(s), jax.device_get(aux["ok"])
+            return s, aux["ok"]
 
         t0 = time.perf_counter()
-        run(jax.random.key(0))
+        jax.device_get(run(jax.random.key(0)))
         warm = time.perf_counter() - t0
-        best = float("inf")
-        out = ok = None
-        for r in range(args.repeats):
-            t0 = time.perf_counter()
-            out, ok = run(jax.random.key(r + 1))
-            best = min(best, time.perf_counter() - t0)
+        best, (out, ok) = timed_best(lambda: run(jax.random.key(1)),
+                                     repeats=args.repeats)
+        out = np.asarray(out)
+        ok = np.asarray(ok)
         print(json.dumps({
             "kernel": "fbm", "ntrain": ntrain, "assets": args.assets,
             "iters_per_stage": args.iters,

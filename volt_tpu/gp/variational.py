@@ -232,7 +232,7 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
     init passes the exact autodiff Hessian of its own likelihood —
     ``models/gpcv.py``); when omitted the exp closed form above is used.
     ``chol_kuu`` optionally supplies a structure-aware prior factor
-    (see :func:`elbo_at_inducing`).
+    (see :func:`elbo_at_inducing`); ``kuu`` may then be ``None``.
     """
     y = jnp.asarray(y)
     if f is None:

@@ -106,7 +106,12 @@ class GPCVModel(ConfigEq):
         if self.q == "tridiag":
             return self._init_tridiag(kernel_params, lik_params, train_x, y,
                                       dtype)
-        kuu = self.kernel(kernel_params, train_x)
+        chol_kuu = self._prior_chol(kernel_params, train_x)
+        # init runs eagerly (no jit DCE): build the dense Gram only when
+        # no structure-aware factor covers it (BM parity path).
+        kuu = None if chol_kuu is not None else self.kernel(
+            kernel_params, train_x
+        )
         # The reference's x10 root inflation
         # (single_task_variational_gp.py:251) is kept for the BM kernel
         # (trajectory-parity-pinned); against the FBM prior — which is
@@ -116,7 +121,6 @@ class GPCVModel(ConfigEq):
         # recovery (measured, n=149 SABR; same precedent as the
         # tridiag/sparse inits).
         root_scale = 10.0 if isinstance(self.kernel, BMKernel) else 1.0
-        chol_kuu = self._prior_chol(kernel_params, train_x)
         if self.likelihood.param == "cv":
             f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
             var_state, _ = laplace_initialize(kuu, y, f=f,
@@ -269,7 +273,10 @@ class GPCVModel(ConfigEq):
         """
         kernel_params = self.kernel.init(dtype)
         lik_params = self.likelihood.init(dtype, key=key)
-        kuu = self.kernel(kernel_params, inducing_x)
+        chol_kuu = self._prior_chol(kernel_params, inducing_x)
+        kuu = None if chol_kuu is not None else self.kernel(
+            kernel_params, inducing_x
+        )
         from ..gp.variational import running_std_latent_init
 
         f_exp, rs = running_std_latent_init(y)
@@ -302,7 +309,7 @@ class GPCVModel(ConfigEq):
         # at the plain Laplace covariance, which converges much faster.
         state, _ = laplace_initialize(
             kuu, y[..., take], f=f_m, root_scale=1.0, inv_hess=inv_hess,
-            chol_kuu=self._prior_chol(kernel_params, inducing_x),
+            chol_kuu=chol_kuu,
         )
         return {
             "kernel": kernel_params,

@@ -305,10 +305,12 @@ class MultitaskVariationalGP(ConfigEq):
                                 min=1e-4, max=1000.0)  # (T, N)
         mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
 
-        kuu = self.data_kernel(params["data_kernel"], x)
+        # init runs eagerly (no jit DCE): build the dense Gram only when
+        # no structure-aware factor covers it.
         chol = self._data_chol(params, x)
         if chol is None:
-            chol = psd_safe_cholesky(kuu)
+            chol = psd_safe_cholesky(self.data_kernel(params["data_kernel"],
+                                                      x))
         inner = _mm(jnp.swapaxes(chol, -1, -2) * mean_inv_hess[None, :], chol)
         inner = inner + jnp.eye(inner.shape[-1], dtype=inner.dtype)
         # inner^{-1/2} via its Cholesky: inner = C C^T  =>  root = L C^{-T}

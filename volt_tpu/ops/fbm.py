@@ -7,8 +7,8 @@ The FBM kernel ``K(s, t) = (s^{2H} + t^{2H} - |s-t|^{2H}) / 2`` (reference
 
     K = A G A^T,   A = unit lower-triangular (cumsum),
     G[i, j] = Cov(g_i, g_j)
-            = (|t_i - s_{j-1}|^{2H} + |t_{i-1} - s_j|^{2H}
-               - |t_i - s_j|^{2H} - |t_{i-1} - s_{j-1}|^{2H}) / 2.
+            = (|t_i - t_{j-1}|^{2H} + |t_{i-1} - t_j|^{2H}
+               - |t_i - t_j|^{2H} - |t_{i-1} - t_{j-1}|^{2H}) / 2.
 
 Because ``A`` and ``chol(G)`` are both lower-triangular,
 ``chol(K) = A @ chol(G) = cumsum(chol(G), axis=-2)`` exactly — and ``G``

@@ -95,8 +95,11 @@ def _strictly_future(test_x, train_x) -> bool:
         tr_last = np.asarray(train_x)[..., -1]
         return bool(np.all(np.diff(tx, axis=-1) > 0)
                     and np.all(tx[..., 0] > tr_last))
-    except Exception:
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
         return True  # tracers: trust the rollout contract
+    # anything else (empty grids, ragged inputs) is a real caller error —
+    # let it propagate instead of silently selecting the fast sampler
 
 
 # ---------------------------------------------------------------------------
