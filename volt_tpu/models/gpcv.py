@@ -117,9 +117,12 @@ class GPCVModel(ConfigEq):
         # (trajectory-parity-pinned); against the FBM prior — which is
         # near-singular on grids starting at 0 — the inflated init
         # diverges outright (loss ~1e8 -> NaN by iter ~100), while the
-        # plain Laplace covariance converges to an 0.18-rel-err vol
+        # plain Laplace covariance converges to an 0.18-0.22-rel-err vol
         # recovery (measured, n=149 SABR; same precedent as the
-        # tridiag/sparse inits).
+        # tridiag/sparse inits).  Re-checked after the increment-domain
+        # factorization landed: the inflated init still diverges (final
+        # loss ~3e5 vs -1.5), so the deviation is an optimization-
+        # landscape fact, not a conditioning artifact.
         root_scale = 10.0 if isinstance(self.kernel, BMKernel) else 1.0
         if self.likelihood.param == "cv":
             f, mean_const, inv_hess = self._cv_laplace_pieces(lik_params, y)
