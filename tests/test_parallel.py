@@ -55,6 +55,20 @@ class TestPipeline:
         assert samples.shape == (4, H)
         assert np.isfinite(np.asarray(samples)).all()
 
+    def test_fbm_batch_sharded_over_mesh(self, batch_data, devices):
+        # The non-Markov pipeline (dense q, increment-domain prior
+        # factorization — ops/fbm.py) batched AND sharded: all lanes must
+        # fit cleanly, not just trace.
+        train_x, ys, test_x = batch_data
+        cfg = PipelineConfig(gpcv_iters=5, vol_iters=5, data_iters=5,
+                             k=10, nsample=4, kernel="fbm")
+        mesh = make_mesh((4, 1), devices=devices[:4])
+        samples, aux = fit_forecast_batch(jax.random.key(0), train_x, ys,
+                                          test_x, cfg, mesh=mesh)
+        assert samples.shape == (8, 4, H)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+        assert bool(jnp.all(aux["ok"]))
+
     def test_fit_forecast_rejects_irregular_grid(self, batch_data):
         # The single-asset entry point guards spectral grids too, not
         # just the batch wrapper.
