@@ -46,6 +46,23 @@ class TestVoltAPI:
         assert samples.shape == (16, 8)
         assert np.isfinite(np.asarray(samples)).all()
 
+    def test_supplied_vol_path_skips_gpcv(self):
+        # reference Volt accepts vol_path (Volt.py:18-19) but Train
+        # discards it; here a supplied path is used (fix by design —
+        # volt_api.Volt.__init__ docstring).
+        f, v = sabr_paths(steps=100, seed=2019)
+        dt = 1.0 / 252
+        train_x = jnp.arange(100, dtype=jnp.float32) * dt
+        model = Volt(train_x, jnp.log(jnp.asarray(f)), mean="ewma", k=20,
+                     vol_path=jnp.asarray(v[1:]))
+        # gpcv_iters=0 would be invalid for a real fit; the supplied path
+        # means the GPCV stage never runs at all
+        model.Train(gpcv_iters=0, vol_mod_iters=40, data_mod_iters=20)
+        test_x = jnp.arange(8, dtype=jnp.float32) * dt + train_x[-1] + dt
+        samples = model.Forecast(test_x, nsample=8)
+        assert samples.shape == (8, 8)
+        assert np.isfinite(np.asarray(samples)).all()
+
 
 class TestCalibration:
     def test_percentiles_uniform_for_self_samples(self, rng):

@@ -5,7 +5,6 @@ python tools/scaling_study.py  ->  markdown rows for BENCH_SCALING.md
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,19 +34,15 @@ def main():
         test_x = jnp.arange(100, dtype=jnp.float32) * dt + train_x[-1] + dt
         ys = jnp.asarray(f)
 
+        from volt_tpu.utils.profiling import timed_best
+
         def run():
             s, _ = fit_forecast_batch(jax.random.key(0), train_x, ys,
                                       test_x, cfg)
-            got = jax.device_get(s)
-            assert np.isfinite(got).all(), ntrain
-            return got
+            return s
 
-        run()  # warm/compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
+        best, got = timed_best(run, repeats=3)
+        assert np.isfinite(np.asarray(got)).all(), ntrain
         print(f"| {ntrain} | {best:.3f} | {b / best:.1f} |", flush=True)
 
 

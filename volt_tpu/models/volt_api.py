@@ -28,13 +28,20 @@ __all__ = ["Volt"]
 
 
 class Volt:
-    def __init__(self, train_x, log_data, mean: str = "constant", k: int = 25,
-                 rank: int = 1):
+    def __init__(self, train_x, log_data, mean: str = "constant",
+                 vol_path=None, k: int = 25, rank: int = 1):
+        """``vol_path`` (``(n-1,)`` or ``(T, n-1)``) optionally supplies an
+        externally-estimated volatility path (reference ``Volt.py:18-19``).
+        The reference stores it but ``Train`` unconditionally re-runs
+        ``LearnGPCV`` over it (``Volt.py:102-105``), making the argument
+        dead; fixed by design here — a supplied path IS used, skipping the
+        GPCV stage in :meth:`Train`."""
         self.train_x = jnp.asarray(train_x)    # full grid, length n
         self.log_data = jnp.asarray(log_data)  # (n,) or (T, n) log prices
         self.mean_name = mean
         self.k = k
         self.rank = rank
+        self.vol_path = None if vol_path is None else jnp.asarray(vol_path)
         self.batched = self.log_data.ndim > 1
         self.model = None
         self.vol_model = None
@@ -47,8 +54,11 @@ class Volt:
         x = self.train_x
         data = jnp.exp(self.log_data)
         if self.batched:
-            scales = learn_gpcv_multitask(x[1:], data, gpcv_iters,
-                                          rank=self.rank, key=key)
+            if self.vol_path is not None:
+                scales = self.vol_path
+            else:
+                scales = learn_gpcv_multitask(x[1:], data, gpcv_iters,
+                                              rank=self.rank, key=key)
             self.model, self.vol_model = train_volt_multitask(
                 x[1:], data[:, 1:], scales, train_iters=data_mod_iters,
                 vol_iters=vol_mod_iters, k=self.k,
@@ -56,7 +66,10 @@ class Volt:
                 printing=display, key=key,
             )
             return self.model
-        vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display)
+        if self.vol_path is not None:
+            vol = self.vol_path
+        else:
+            vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display)
         vol_state = train_vol_model(x[1:], vol, vol_mod_iters,
                                     printing=display)
         self.model = train_volt_magpie(
