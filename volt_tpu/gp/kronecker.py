@@ -391,10 +391,6 @@ def kron_posterior(k_data_tr, k_data_cross, k_data_te, k_task, resid, noise):
     # data-side quadratic forms weighted per task-eigenvalue:
     # S2[i,j,a,b] = sum_n cross[n,i]cross[n,j] * sum over task modes ...
     # assemble in the task eigenbasis then rotate back.
-    lt_col = lt[..., None, None, :]  # (..., 1, 1, T)
-    weights = (lt_col ** 2) / (
-        ld[..., :, None, None] * lt_col + noise
-    )  # (..., N, 1, T) after broadcast with cross
     # down-weighted data gram per task mode: G[t_mode, i, j]
     g = jnp.einsum(
         "...ni,...nj,...nt->...tij",
@@ -403,7 +399,6 @@ def kron_posterior(k_data_tr, k_data_cross, k_data_te, k_task, resid, noise):
         / (ld[..., :, None] * lt[..., None, :] + noise),
         precision=_HIGHEST,
     )  # (..., T, M, M)
-    del weights
     # rotate task modes back: cov = Kte (x) Kt - sum_t (qt e_t)(qt e_t)^T (x) g_t
     k_te_full = jnp.einsum(
         "...ij,...ab->...iajb", k_data_te, k_task, precision=_HIGHEST

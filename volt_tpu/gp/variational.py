@@ -101,8 +101,8 @@ def variational_predict(state: VariationalState, prior_mean_u, kuu,
     chol = chol_kuu if chol_kuu is not None else psd_safe_cholesky(kuu)
     kuu_inv_kux = cholesky_solve(chol, kux)  # (..., n_u, n_x)
     diff = (state.variational_mean - prior_mean_u)[..., None]
-    mean = (
-        jnp.swapaxes(kuu_inv_kux, -1, -2) @ diff
+    mean = jnp.matmul(
+        jnp.swapaxes(kuu_inv_kux, -1, -2), diff, precision=_HIGHEST
     )[..., 0] + prior_mean_x
 
     chol_q = _tril(state.chol_variational_covar)

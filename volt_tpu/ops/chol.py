@@ -88,7 +88,9 @@ def _psd_safe_cholesky_bwd(base_jitter, max_tries, chol, g):
     # that the forward ladder actually produced — a single factorization
     # total, and gradients that agree with jnp.linalg.cholesky whenever no
     # jitter was needed.
-    m = _phi(jnp.swapaxes(chol, -1, -2) @ g)
+    # HIGHEST: bf16 here would degrade the gradients of every GP loss
+    m = _phi(jnp.matmul(jnp.swapaxes(chol, -1, -2), g,
+                        precision=lax.Precision.HIGHEST))
     x1 = lax.linalg.triangular_solve(
         chol, m, left_side=True, lower=True, transpose_a=True
     )

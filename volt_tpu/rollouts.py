@@ -498,8 +498,15 @@ def _nonvol_scan(key, model, test_x, nsample):
         w = solve_lower_triangular(l_buf, k_masked[:, None])[:, 0]
         w = jnp.where(mask, w, 0.0)
 
-        latent_var = jnp.maximum(k_col[n_t] - jnp.dot(w, w), 1e-12)
-        cond_mean_resid = u_buf @ w  # (S,)
+        # HIGHEST: the conditional variance is a cancellation of two
+        # near-equal numbers and the mean a long contraction — bf16
+        # accumulation (the TPU matmul default) is far outside the
+        # sampler's parity budget.
+        hp = jax.lax.Precision.HIGHEST
+        latent_var = jnp.maximum(
+            k_col[n_t] - jnp.dot(w, w, precision=hp), 1e-12
+        )
+        cond_mean_resid = jnp.matmul(u_buf, w, precision=hp)  # (S,)
         if hist:
             m_t = mean_mod.scan_value(mean_params, mstate)
         else:
@@ -507,12 +514,14 @@ def _nonvol_scan(key, model, test_x, nsample):
         y_t = m_t + cond_mean_resid + jnp.sqrt(latent_var) * z_t
 
         # extend the Cholesky: new row = [w, sqrt(A_tt - w.w)]
-        diag_new = jnp.sqrt(jnp.maximum(a_diag[n_t] - jnp.dot(w, w), 1e-12))
+        diag_new = jnp.sqrt(jnp.maximum(
+            a_diag[n_t] - jnp.dot(w, w, precision=hp), 1e-12
+        ))
         new_row = w.at[n_t].set(diag_new)
         l_buf = l_buf.at[n_t, :].set(new_row)
         # extend u per path: u_new = (r_new - row . u) / diag
         r_new = y_t - m_t
-        u_new = (r_new - u_buf @ w) / diag_new
+        u_new = (r_new - jnp.matmul(u_buf, w, precision=hp)) / diag_new
         u_buf = u_buf.at[:, n_t].set(u_new)
 
         if hist:
