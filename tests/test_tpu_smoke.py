@@ -122,3 +122,25 @@ class TestPipelineOnChip:
         losses = _fetch(losses)
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+    def test_fbm_pipeline_on_chip(self):
+        # the increment-domain FBM factorization (ops/fbm.py) lowered on
+        # the real chip: small end-to-end fit, every lane ok.
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
+
+        n, h = 150, 8
+        f, _ = sabr_paths(steps=n + 1, seed=5, n_paths=4)
+        train_x = jnp.arange(n, dtype=jnp.float32) * (1.0 / 252)
+        test_x = train_x[-1] + (1.0 / 252) * jnp.arange(
+            1, h + 1, dtype=jnp.float32
+        )
+        cfg = PipelineConfig(gpcv_iters=30, vol_iters=30, data_iters=30,
+                             k=50, nsample=32, kernel="fbm")
+        samples, aux = fit_forecast_batch(
+            jax.random.key(0), train_x, jnp.asarray(f), test_x, cfg
+        )
+        samples = _fetch(samples)
+        assert samples.shape == (4, 32, h)
+        assert np.isfinite(samples).all()
+        assert _fetch(aux["ok"]).all()
