@@ -453,3 +453,15 @@ class TestMvnKlUnconstrainedRoot:
             lambda c: ops.mvn_kl(mq, c, mp, chol_p)
         )(jnp.asarray(base, jnp.float32))
         assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_irregular_grid_exact(self, rng):
+        # the increment-domain identity holds on ANY increasing positive
+        # grid (train_vol_model accepts irregular calendars for FBM)
+        x = jnp.asarray(np.cumsum(0.001 + 0.01 * rng.random(90))
+                        .astype(np.float32))
+        for th in (0.5, 1.3):
+            chol = ops.fbm_cholesky(x, jnp.asarray(th, jnp.float32))
+            got = np.asarray(chol, np.float64)
+            np.testing.assert_allclose(got @ got.T,
+                                       _fbm_gram(np.asarray(x), th),
+                                       atol=2e-5)
