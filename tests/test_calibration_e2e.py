@@ -126,3 +126,43 @@ class TestCoverageFromQuantiles:
             (pct[None, :] <= levels[:, None]).astype(jnp.float32), axis=1)
         np.testing.assert_allclose(np.asarray(obs), np.asarray(want),
                                    atol=0.15)
+
+
+class TestQuantileFanCalibrationEndToEnd:
+    """Coverage-vs-nominal straight from the production quantiles delivery
+    on well-specified GBM with known futures — the in-suite miniature of
+    the 500-asset on-chip coverage experiment (PERFORMANCE.md)."""
+
+    def test_observed_coverage_tracks_nominal(self):
+        from volt_tpu.calibration import coverage_from_quantiles
+
+        rng = np.random.default_rng(11)
+        b, ntrain, h = 16, 150, 10
+        z = rng.standard_normal((b, ntrain + h - 1))
+        logp = np.concatenate(
+            [np.zeros((b, 1)),
+             np.cumsum(TRUE_VOL * np.sqrt(DT) * z, axis=1)], axis=1)
+        prices = (50.0 * np.exp(logp)).astype(np.float32)
+        train_x = jnp.arange(ntrain - 1, dtype=jnp.float32) * DT
+        test_x = jnp.arange(h, dtype=jnp.float32) * DT + train_x[-1] + DT
+        cfg = PipelineConfig(gpcv_iters=150, vol_iters=150, data_iters=100,
+                             mean_func="ewma", k=50, nsample=400,
+                             output="quantiles")
+        fan, aux = fit_forecast_batch(
+            jax.random.key(0), train_x, jnp.asarray(prices[:, :ntrain]),
+            test_x, cfg,
+        )
+        assert np.asarray(aux["ok"]).all()
+        truth = np.log(prices[:, ntrain:])
+        levels, obs = coverage_from_quantiles(
+            cfg.quantile_levels, fan, jnp.asarray(truth)
+        )
+        obs = np.asarray(obs)
+        lv = np.asarray(levels)
+        # b*h = 160 cells: statistical bound, not a parity bound.  The
+        # pipeline must be in the right calibration regime — monotone
+        # coverage, neither collapsed (all ~0/1) nor inverted.
+        assert (np.diff(obs) >= -1e-6).all(), obs
+        assert np.max(np.abs(obs - lv)) < 0.30, (lv, obs)
+        # the central band must actually separate the tails
+        assert obs[0] < 0.5 < obs[-1], obs
