@@ -95,6 +95,23 @@ class TestPipeline:
         assert ok[keep].all()
         assert np.isfinite(np.asarray(samples)[keep]).all()
 
+    def test_failure_isolation_in_quantiles_mode(self, batch_data):
+        # same contract as test_per_asset_failure_isolation, but through
+        # the round-3 default delivery: the poisoned asset's fan is its
+        # own problem, flagged by ok=False; other fans stay finite.
+        import dataclasses
+
+        train_x, ys, test_x = batch_data
+        poisoned = ys.at[5].set(jnp.zeros_like(ys[5]))
+        cfg = dataclasses.replace(CFG, output="quantiles")
+        fan, aux = fit_forecast_batch(jax.random.key(0), train_x,
+                                      poisoned, test_x, cfg)
+        ok = np.asarray(aux["ok"])
+        assert not ok[5]
+        keep = [i for i in range(8) if i != 5]
+        assert ok[keep].all()
+        assert np.isfinite(np.asarray(fan)[keep]).all()
+
     def test_batch_sharded_over_mesh(self, batch_data, devices):
         train_x, ys, test_x = batch_data
         mesh = make_mesh((4, 2), devices=devices)
