@@ -116,4 +116,10 @@ if __name__ == "__main__":
     p.add_argument("--vol_iters", type=int, default=500)
     p.add_argument("--data_iters", type=int, default=400)
     p.add_argument("--figure", action="store_true")
-    main(p.parse_args())
+    p.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. when the TPU "
+                         "tunnel is degraded)")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    main(args)

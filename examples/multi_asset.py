@@ -81,4 +81,10 @@ if __name__ == "__main__":
     ap.add_argument("--assets", type=int, default=8)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--iters", type=int, default=150)
-    main(ap.parse_args())
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. when the TPU "
+                         "tunnel is degraded)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    main(args)
