@@ -58,7 +58,7 @@ def main():
                                       test_x, cfg)
             return s
 
-        out[name], got = timed_best(run, repeats=3)
+        got, out[name] = timed_best(run, repeats=3)
         assert np.isfinite(np.asarray(got)).all(), name
         print(f"{name:10s} {out[name]*1e3:9.1f} ms", flush=True)
 

@@ -64,7 +64,7 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(run(jax.random.key(0)))
         warm = time.perf_counter() - t0
-        best, (out, ok) = timed_best(lambda: run(jax.random.key(1)),
+        (out, ok), best = timed_best(lambda: run(jax.random.key(1)),
                                      repeats=args.repeats)
         out = np.asarray(out)
         ok = np.asarray(ok)

@@ -77,7 +77,7 @@ def main():
                     p, args.iters, 0.01,
                 )[1][-1]
 
-            el, loss = timed(partial(fit_vol, mt.init()), args.repeats)
+            loss, el = timed(partial(fit_vol, mt.init()), args.repeats)
             assert np.isfinite(loss), f"vol fit non-finite at T={t}"
             print(json.dumps({
                 "stage": "mt_vol_fit", "T": t, "n": n,
@@ -100,7 +100,7 @@ def main():
                     p, args.iters, 0.01,
                 )[1][-1]
 
-            el, loss = timed(partial(fit_gpcv, params), args.repeats)
+            loss, el = timed(partial(fit_gpcv, params), args.repeats)
             assert np.isfinite(loss), f"gpcv non-finite at T={t}"
             print(json.dumps({
                 "stage": "mt_gpcv_fit", "T": t, "n": n,
@@ -115,7 +115,7 @@ def main():
             def sample(key):
                 return state.sample_forecast(key, test_x, (args.nsample,))
 
-            el, vols = timed(partial(sample, jax.random.key(0)),
+            vols, el = timed(partial(sample, jax.random.key(0)),
                              args.repeats)
             assert np.isfinite(vols).all(), f"forecast NaN at T={t}"
             print(json.dumps({

@@ -41,7 +41,7 @@ def main():
                                       test_x, cfg)
             return s
 
-        best, got = timed_best(run, repeats=3)
+        got, best = timed_best(run, repeats=3)
         assert np.isfinite(np.asarray(got)).all(), ntrain
         print(f"| {ntrain} | {best:.3f} | {b / best:.1f} |", flush=True)
 

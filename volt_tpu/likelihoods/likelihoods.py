@@ -200,6 +200,20 @@ class VolatilityGaussianLikelihood(ConfigEq):
             hess = jax.vmap(hess)
         return hess(jnp.broadcast_to(f, jnp.shape(y)), jnp.asarray(y))
 
+    def laplace_inv_hessian(self, params, y, f):
+        """Clamped inverse curvature for the Laplace variational init.
+
+        The single shared definition of the clamp band — Hessian floored
+        at 1e-3 before inversion, inverse clipped to ``[1e-4, 1e3]``
+        (the reference's ``clamp(min=1e-4, max=1000)``,
+        ``single_task_variational_gp.py:225-226``) — used by the
+        single-task, sparse, and multitask cv inits so they cannot
+        drift apart.
+        """
+        hess = self.neg_log_prob_hessian(params, y, f)
+        return jnp.clip(1.0 / jnp.maximum(hess, 1e-3), min=1e-4,
+                        max=1000.0)
+
     def expected_log_prob(self, params, y, mean, var,
                           num_locs: int = DEFAULT_NUM_LOCS,
                           method: str | None = None):

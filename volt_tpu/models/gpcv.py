@@ -166,9 +166,7 @@ class GPCVModel(ConfigEq):
         mean_const = self.likelihood.latent_from_scale(
             lik_params, jnp.mean(rs, axis=-1)
         )
-        hess = self.likelihood.neg_log_prob_hessian(lik_params, y, f)
-        inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3), min=1e-4,
-                            max=1000.0)
+        inv_hess = self.likelihood.laplace_inv_hessian(lik_params, y, f)
         return f, mean_const, inv_hess
 
     # --- tridiagonal-precision q (TPU-native; see ops/bidiag.py) -----------
@@ -296,11 +294,9 @@ class GPCVModel(ConfigEq):
             f_full = f_exp
         f_m = f_full[..., take]
         if self.likelihood.param == "cv":
-            hess = self.likelihood.neg_log_prob_hessian(
+            inv_hess = self.likelihood.laplace_inv_hessian(
                 lik_params, y[..., take], f_m
             )
-            inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3), min=1e-4,
-                                max=1000.0)
             mean_const = self.likelihood.latent_from_scale(
                 lik_params, jnp.mean(rs, axis=-1)
             )

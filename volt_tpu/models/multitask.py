@@ -295,9 +295,9 @@ class MultitaskVariationalGP(ConfigEq):
         if getattr(likelihood, "param", "exp") == "cv":
             _, rs = running_std_latent_init(y.T)          # (T, N)
             f = likelihood.latent_from_scale(lik_params, rs).T  # (N, T)
-            hess = likelihood.neg_log_prob_hessian(lik_params, y.T, f.T)
-            inv_hess = jnp.clip(1.0 / jnp.maximum(hess, 1e-3),
-                                min=1e-4, max=1000.0)     # (T, N)
+            inv_hess = likelihood.laplace_inv_hessian(
+                lik_params, y.T, f.T
+            )                                             # (T, N)
         else:
             f, rs = running_std_latent_init(y.T)  # per task: (T, N)
             f = f.T  # (N, T)

@@ -32,7 +32,6 @@ with ``D D^T`` the fixed tridiagonal ``[-1, 2, -1]`` (first diagonal entry
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .chol import psd_safe_cholesky

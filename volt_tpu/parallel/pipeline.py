@@ -93,9 +93,8 @@ def _resolve_config(config: PipelineConfig) -> PipelineConfig:
 def _check_spectral_grid(train_x, config: PipelineConfig):
     """Host-side guard: the spectral vol path assumes an equispaced grid.
     Only possible when ``train_x`` is concrete (skipped under tracing).
-    Degenerate grids (< 3 points) are not an error — the jitted pipeline
-    routes them to the Kalman path (the same static fallback as the
-    spectrum's int32 n-bound)."""
+    ``_check_min_length`` (n >= 11) has already run at every caller, so
+    no degenerate-grid case arises here."""
     if config.vol_mll != "spectral" or config.kernel != "bm":
         return
     from ..train import _is_equispaced
@@ -104,8 +103,7 @@ def _check_spectral_grid(train_x, config: PipelineConfig):
         concrete = not isinstance(jnp.asarray(train_x), jax.core.Tracer)
     except Exception:
         concrete = False
-    if (concrete and jnp.asarray(train_x).shape[-1] >= 3
-            and not _is_equispaced(train_x)):
+    if concrete and not _is_equispaced(train_x):
         raise ValueError(
             "vol_mll='spectral' requires an equispaced train_x; use "
             "PipelineConfig(vol_mll='kalman') for irregular grids"
@@ -162,8 +160,9 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     bm = BMGP(kernel=config.kernel)
     from ..ops.brownian import spectral_n_ok
 
+    # n >= 11 is guaranteed by _check_min_length at both public entries,
+    # so only the spectrum's int32 upper bound gates the dispatch here.
     if (config.kernel == "bm" and config.vol_mll == "spectral"
-            and train_x.shape[-1] >= 3
             and spectral_n_ok(train_x.shape[-1])):
         # closed-form min(x) eigensystem (equispaced grids): two basis
         # projections per fit, elementwise O(n) per step, no scan.

@@ -34,12 +34,13 @@ def trace(log_dir: str):
 
 
 def timed_best(fn, repeats: int = 3):
-    """``(best_seconds, result)`` — warm once, then min over repeats.
+    """``(result, best_seconds)`` — warm once, then min over repeats.
 
-    The benchmarking idiom for this image's TPU tunnel: completion is
-    forced by ``jax.device_get`` (``block_until_ready`` does not
-    synchronize on axon) and the min filters the tunnel's sporadic
-    multi-second stalls.  Used by the ``tools/`` benchmark harnesses.
+    Same return order as :func:`timed`.  The benchmarking idiom for this
+    image's TPU tunnel: completion is forced by ``jax.device_get``
+    (``block_until_ready`` does not synchronize on axon) and the min
+    filters the tunnel's sporadic multi-second stalls.  Used by the
+    ``tools/`` benchmark harnesses.
     """
     result = jax.device_get(fn())  # compile + warm
     best = float("inf")
@@ -47,7 +48,7 @@ def timed_best(fn, repeats: int = 3):
         t0 = time.perf_counter()
         result = jax.device_get(fn())
         best = min(best, time.perf_counter() - t0)
-    return best, result
+    return result, best
 
 
 def timed(fn, *args, warmup: int = 1, repeats: int = 1, **kwargs):
