@@ -21,10 +21,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compilation cache: repeated bench invocations skip the
-# (tunnel-bound) compile entirely.
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache (TPU path): repeated bench invocations
+# skip the (tunnel-bound) compile entirely.  JAX_PLATFORMS=cpu is
+# honored for off-chip smoke runs (tests/test_tools.py).
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()
 
 
 def main():
@@ -43,9 +45,11 @@ def main():
     # reference's torch.save tensors (round-2 figure: ~102 assets/sec,
     # 70% of it the 25.6 MB/batch fetch over the ~35 MB/s tunnel).
     output = os.environ.get("BENCH_OUTPUT", "quantiles")
+    iters = int(os.environ.get("BENCH_ITERS", "300"))
+    nsample = int(os.environ.get("BENCH_NSAMPLE", "1000"))
     cfg = PipelineConfig(
-        gpcv_iters=300, vol_iters=300, data_iters=300,
-        mean_func="ewma", k=100, nsample=1000, output=output,
+        gpcv_iters=iters, vol_iters=iters, data_iters=iters,
+        mean_func="ewma", k=100, nsample=nsample, output=output,
     )
 
     dt = 1.0 / 252
@@ -103,7 +107,7 @@ def main():
     print(json.dumps({
         "metric": "volt_fit_plus_1000path_rollout_throughput",
         "value": round(assets_per_sec, 4),
-        "unit": (f"assets/sec/chip (ntrain={ntrain}, 3x300 iters, "
+        "unit": (f"assets/sec/chip (ntrain={ntrain}, 3x{iters} iters, "
                  f"{cfg.nsample}x{horizon} MC{delivery})"),
         "vs_baseline": round(assets_per_sec / north_star, 4),
     }))

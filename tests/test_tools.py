@@ -1,0 +1,92 @@
+"""CPU smoke lane for the measurement harnesses (``bench.py``, ``tools/``).
+
+These scripts are the provenance of every number in PERFORMANCE.md and
+BENCH_SCALING.md but normally only execute on the real chip; this lane
+runs each of them at toy shapes on the CPU backend (they honor
+``JAX_PLATFORMS=cpu`` via ``utils.platform.configure_backend``) so
+breakage — import errors, unpack-order slips, config drift against
+``PipelineConfig`` — surfaces in-suite rather than at measurement time
+on the chip.  Shapes are minimal: these assert the harnesses *run and
+report*, not performance.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(argv, env_extra=None, timeout=540):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", **(env_extra or {})}
+    proc = subprocess.run(
+        [sys.executable, *argv], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{argv} failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+@pytest.mark.slow
+class TestHarnessSmoke:
+    def test_bench_emits_json_line(self):
+        out = _run(["bench.py"], env_extra={
+            "BENCH_ASSETS": "2", "BENCH_NTRAIN": "64", "BENCH_ITERS": "3",
+            "BENCH_NSAMPLE": "8", "BENCH_HORIZON": "8",
+            "BENCH_REPEATS": "1",
+        })
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["metric"] == "volt_fit_plus_1000path_rollout_throughput"
+        assert rec["value"] > 0 and rec["vs_baseline"] > 0
+        assert "quantiles" in rec["unit"]
+
+    def test_scaling_study_rows(self):
+        out = _run(["tools/scaling_study.py"], env_extra={
+            "SCALE_ASSETS": "2", "SCALE_NTRAIN": "64", "SCALE_ITERS": "2",
+            "SCALE_NSAMPLE": "8",
+        })
+        assert "| 64 |" in out
+
+    def test_ablate_stages(self):
+        out = _run(["tools/ablate_stages.py", "2", "64"], env_extra={
+            "ABLATE_ITERS": "2", "ABLATE_NSAMPLE": "8",
+        })
+        for name in ("full", "gpcv_1", "vol_1", "data_1", "mc_1path"):
+            assert name in out, name
+
+    def test_bench_fbm(self):
+        out = _run(["tools/bench_fbm.py", "--ntrain", "64", "--assets",
+                    "2", "--horizon", "8", "--nsample", "8", "--iters",
+                    "2", "--repeats", "1"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["kernel"] == "fbm" and rec["finite"]
+
+    def test_bench_multitask(self):
+        out = _run(["tools/bench_multitask.py", "--tasks", "3", "--n",
+                    "64", "--iters", "2", "--nsample", "4", "--horizon",
+                    "8", "--repeats", "1"])
+        stages = {json.loads(l)["stage"]
+                  for l in out.strip().splitlines() if l.startswith("{")}
+        assert stages == {"mt_vol_fit", "mt_gpcv_fit", "mt_vol_forecast"}
+
+    def test_robustness_sweep(self):
+        out = _run(["tools/robustness_sweep.py", "--seeds", "1",
+                    "--assets", "2", "--ntrain", "64", "--iters", "2",
+                    "--nsample", "8"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["total"] == 2 and rec["ok_rate"] == 1.0
+
+    def test_bench_scaling_writes_table(self, tmp_path):
+        out_md = tmp_path / "scaling.md"
+        _run(["tools/bench_scaling.py", "--sizes", "64", "--iters", "2",
+              "--nsample", "8", "--reps", "1", "--out", str(out_md)])
+        text = out_md.read_text()
+        assert "| 64 |" in text and "full GPCV" in text
+        # the repo-root table must be untouched by --out runs
+        assert "sequence-length scaling" in open(
+            os.path.join(REPO, "BENCH_SCALING.md")).read()

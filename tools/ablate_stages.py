@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 
 def main():
@@ -37,8 +38,10 @@ def main():
     test_x = jnp.arange(100, dtype=jnp.float32) * dt + train_x[-1] + dt
     train_ys = jnp.asarray(f)
 
-    base = dict(gpcv_iters=300, vol_iters=300, data_iters=300,
-                mean_func="ewma", k=100, nsample=1000,
+    iters = int(os.environ.get("ABLATE_ITERS", "300"))
+    base = dict(gpcv_iters=iters, vol_iters=iters, data_iters=iters,
+                mean_func="ewma", k=100,
+                nsample=int(os.environ.get("ABLATE_NSAMPLE", "1000")),
                 output=os.environ.get("BENCH_OUTPUT", "samples"))
     variants = {
         "full": {},

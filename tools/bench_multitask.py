@@ -26,8 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 
 from volt_tpu.utils.profiling import timed_best as timed  # noqa: E402

@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 
 def run_one(n, horizon=100, nsample=1000, iters=300, m_inducing=256,
@@ -69,7 +70,8 @@ def main(args):
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = []
     for n in sizes:
-        secs, mode = run_one(n)
+        secs, mode = run_one(n, nsample=args.nsample, iters=args.iters,
+                             reps=args.reps)
         rows.append((n, secs, mode))
         print(f"n={n:>6}  {secs:7.3f}s  ({mode})", flush=True)
 
@@ -85,12 +87,20 @@ def main(args):
     ]
     for n, secs, mode in rows:
         lines.append(f"| {n} | {secs:.3f} | {mode} |")
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "BENCH_SCALING.md"), "w") as fh:
+    with open(args.out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", type=str, default="400,2000,8000,25000")
+    p.add_argument("--iters", type=int, default=300)
+    p.add_argument("--nsample", type=int, default=1000)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--out", type=str,
+                   default=os.path.join(os.path.dirname(__file__), "..",
+                                        "BENCH_SCALING.md"),
+                   help="output markdown path (point elsewhere for "
+                        "trial runs; the default overwrites the "
+                        "repo-root table)")
     main(p.parse_args())

@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 
 def main():
@@ -29,6 +30,8 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--assets", type=int, default=500)
     ap.add_argument("--ntrain", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--nsample", type=int, default=1000)
     args = ap.parse_args()
 
     import numpy as np
@@ -40,8 +43,9 @@ def main():
     n = args.ntrain - 1
     train_x = jnp.arange(n, dtype=jnp.float32) * dt
     test_x = train_x[-1] + dt * jnp.arange(1, 101, dtype=jnp.float32)
-    cfg = PipelineConfig(gpcv_iters=300, vol_iters=300, data_iters=300,
-                         mean_func="ewma", k=100, nsample=1000,
+    cfg = PipelineConfig(gpcv_iters=args.iters, vol_iters=args.iters,
+                         data_iters=args.iters,
+                         mean_func="ewma", k=100, nsample=args.nsample,
                          output="quantiles")
 
     total_ok = total = 0

@@ -12,8 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 
 def main():
@@ -21,8 +22,11 @@ def main():
     from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
 
     b = int(os.environ.get("SCALE_ASSETS", "16"))
-    cfg = PipelineConfig(gpcv_iters=300, vol_iters=300, data_iters=300,
-                         mean_func="ewma", k=100, nsample=1000,
+    iters = int(os.environ.get("SCALE_ITERS", "300"))
+    nsample = int(os.environ.get("SCALE_NSAMPLE", "1000"))
+    cfg = PipelineConfig(gpcv_iters=iters, vol_iters=iters,
+                         data_iters=iters, mean_func="ewma", k=100,
+                         nsample=nsample,
                          output=os.environ.get("BENCH_OUTPUT", "samples"))
     dt = 1.0 / 252
     sizes = tuple(int(s) for s in os.environ.get(
