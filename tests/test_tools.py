@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -80,6 +81,19 @@ class TestHarnessSmoke:
                     "--nsample", "8"])
         rec = json.loads(out.strip().splitlines()[-1])
         assert rec["total"] == 2 and rec["ok_rate"] == 1.0
+
+    def test_eval_compare(self, tmp_path):
+        out_md = tmp_path / "eval.md"
+        out = _run(["tools/eval_compare.py", "--windows", "2", "--ntrain",
+                    "64", "--horizon", "6", "--nsample", "16", "--iters",
+                    "3", "--basic_iters", "3", "--lstm_epochs", "2",
+                    "--k", "20", "--out", str(out_md)])
+        recs = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        assert {r["model"] for r in recs} == {
+            "volt-ewma", "matern-ewma", "sm-ewma", "lstm"}
+        assert all(np.isfinite(r["crps"]) for r in recs)
+        assert "| volt-ewma |" in out_md.read_text()
 
     def test_bench_scaling_writes_table(self, tmp_path):
         out_md = tmp_path / "scaling.md"
