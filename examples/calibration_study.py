@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/volt_tpu_jax_cache")
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
 from volt_tpu.data import sabr_paths
 from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
@@ -148,4 +150,12 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (e.g. when the TPU "
+                        "tunnel is degraded)")
+    if p.parse_args().cpu:
+        jax.config.update("jax_platforms", "cpu")
     main()

@@ -11,7 +11,11 @@ synthetic universes where the dynamics (and thus the fairness of the
 comparison) are known:
 
 * GBM  — constant vol 0.25, zero drift;
-* SABR — stochastic-vol paths (the tutorial's generator, harder).
+* SABR — stochastic-vol paths (the tutorial's generator, harder);
+* WIND — squared-OU mean-reverting speed surrogate (+1-shifted like the
+  reference's USCRN preprocessing); the Volt lane uses the reference's
+  wind config — EWMA(k=400) mean with theta=0.01 mean-reverting
+  rollouts (``GPGenerator.py:68-107``).
 
 Per (universe, model) it reports, pooled over W independent forecast
 windows x H horizon steps, all in log-price space:
@@ -68,6 +72,19 @@ def sabr_windows(w, ntrain, h):
     return np.asarray(f, np.float32)
 
 
+def wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25):
+    """Squared-OU wind-speed surrogate: mean-reverting, heteroscedastic,
+    strictly positive after the reference's ``+1`` shift
+    (``GPGenerator.py:49,56``: ``-99 -> 0`` then ``data + 1``)."""
+    n = ntrain + h
+    x = np.empty((w, n))
+    x[:, 0] = 0.5 * rng.standard_normal(w)
+    z = rng.standard_normal((w, n))
+    for t in range(1, n):
+        x[:, t] = (1.0 - rho) * x[:, t - 1] + sig * z[:, t]
+    return (1.0 + 2.0 * x * x).astype(np.float32)
+
+
 def metrics(samples, truth):
     """samples (W, S, H) log-price forecasts; truth (W, H) realized."""
     from volt_tpu.calibration import crps
@@ -86,13 +103,13 @@ def metrics(samples, truth):
             "nll": round(nll, 4)}
 
 
-def volt_lane(prices, ntrain, h, iters, nsample, k):
+def volt_lane(prices, ntrain, h, iters, nsample, k, theta=None):
     from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
 
     train_x = jnp.arange(ntrain - 1, dtype=jnp.float32) * DT
     test_x = jnp.arange(h, dtype=jnp.float32) * DT + train_x[-1] + DT
     cfg = PipelineConfig(gpcv_iters=iters, vol_iters=iters, data_iters=iters,
-                         mean_func="ewma", k=k, nsample=nsample)
+                         mean_func="ewma", k=k, nsample=nsample, theta=theta)
     samples, aux = fit_forecast_batch(
         jax.random.key(0), train_x, jnp.asarray(prices[:, :ntrain]),
         test_x, cfg,
@@ -138,30 +155,45 @@ def lstm_lane(prices, ntrain, h, epochs, nsample, seq_len=20):
 
 def main(args):
     rng = np.random.default_rng(7)
+    # per-universe Magpie window + mean-reversion: stocks use the
+    # stock-backtest defaults; wind uses the reference's EWMA(k=400) +
+    # theta=0.01 rollouts (GPGenerator.py:68-107)
     universes = {
-        "GBM": gbm_windows(rng, args.windows, args.ntrain, args.horizon),
-        "SABR": sabr_windows(args.windows, args.ntrain, args.horizon),
+        "GBM": (gbm_windows(rng, args.windows, args.ntrain, args.horizon),
+                dict(k=args.k, theta=None)),
+        "SABR": (sabr_windows(args.windows, args.ntrain, args.horizon),
+                 dict(k=args.k, theta=None)),
+        "WIND": (wind_windows(rng, args.windows, args.ntrain, args.horizon),
+                 dict(k=min(400, args.ntrain - 1), theta=0.01)),
     }
-    lanes = {
-        "volt-ewma": lambda p: volt_lane(
-            p, args.ntrain, args.horizon, args.iters, args.nsample, args.k),
-        "matern-ewma": lambda p: basic_lane(
-            p, args.ntrain, args.horizon, args.basic_iters, args.nsample,
-            args.k, "matern"),
-        "sm-ewma": lambda p: basic_lane(
-            p, args.ntrain, args.horizon, args.basic_iters, args.nsample,
-            args.k, "sm"),
-        "lstm": lambda p: lstm_lane(
-            p, args.ntrain, args.horizon, args.lstm_epochs, args.nsample),
-    }
-    if args.lanes:
-        keep = set(args.lanes.split(","))
-        lanes = {n: f for n, f in lanes.items() if n in keep}
+    if args.universes:
+        keep = set(args.universes.split(","))
+        universes = {n: u for n, u in universes.items() if n in keep}
+
+    def lanes_for(ucfg):
+        return {
+            "volt-ewma": lambda p: volt_lane(
+                p, args.ntrain, args.horizon, args.iters, args.nsample,
+                ucfg["k"], ucfg["theta"]),
+            "matern-ewma": lambda p: basic_lane(
+                p, args.ntrain, args.horizon, args.basic_iters,
+                args.nsample, ucfg["k"], "matern"),
+            "sm-ewma": lambda p: basic_lane(
+                p, args.ntrain, args.horizon, args.basic_iters,
+                args.nsample, ucfg["k"], "sm"),
+            "lstm": lambda p: lstm_lane(
+                p, args.ntrain, args.horizon, args.lstm_epochs,
+                args.nsample),
+        }
 
     tables = {}
-    for uname, prices in universes.items():
+    for uname, (prices, ucfg) in universes.items():
         truth = np.log(prices[:, args.ntrain:])
         rows = {}
+        lanes = lanes_for(ucfg)
+        if args.lanes:
+            keep = set(args.lanes.split(","))
+            lanes = {n: f for n, f in lanes.items() if n in keep}
         for lname, fn in lanes.items():
             t0 = time.perf_counter()
             samples = fn(prices)
@@ -219,5 +251,7 @@ if __name__ == "__main__":
     p.add_argument("--lanes", type=str, default="",
                    help="comma-separated subset of "
                         "volt-ewma,matern-ewma,sm-ewma,lstm")
+    p.add_argument("--universes", type=str, default="",
+                   help="comma-separated subset of GBM,SABR,WIND")
     p.add_argument("--out", type=str, default="")
     main(p.parse_args())
