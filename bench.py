@@ -104,14 +104,121 @@ def main():
     assets_per_sec = n_assets / elapsed
     north_star = 500.0 / 60.0 / 8.0  # assets/sec/chip
     delivery = "" if output == "samples" else f", {output} delivery"
+    note = os.environ.get("BENCH_NOTE", "")
     print(json.dumps({
         "metric": "volt_fit_plus_1000path_rollout_throughput",
         "value": round(assets_per_sec, 4),
         "unit": (f"assets/sec/chip (ntrain={ntrain}, 3x{iters} iters, "
-                 f"{cfg.nsample}x{horizon} MC{delivery})"),
+                 f"{cfg.nsample}x{horizon} MC{delivery})"
+                 + (f" [{note}]" if note else "")),
         "vs_baseline": round(assets_per_sec / north_star, 4),
     }))
 
 
+def _extract_json_line(text: str):
+    """Last stdout line that parses as the bench metric dict, or None."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and {"metric", "value"} <= d.keys():
+            return line
+    return None
+
+
+def _run_child(extra_env, timeout_s):
+    """Run this script as a BENCH_CHILD subprocess; return its JSON line
+    (None on timeout/missing)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_CHILD="1", **extra_env)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=timeout_s, env=env, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        print(f"bench child exceeded {timeout_s:.0f}s deadline; killed",
+              file=sys.stderr)
+        for s in (e.stdout, e.stderr):
+            if s:
+                print(s if isinstance(s, str) else s.decode(errors="replace"),
+                      file=sys.stderr)
+        return None
+    if r.stderr:
+        print(r.stderr, file=sys.stderr, end="")
+    return _extract_json_line(r.stdout or "")
+
+
+def supervise():
+    """Dead-tunnel-proof wrapper around :func:`main`.
+
+    The axon TPU tunnel on this image dies for hours at a stretch, and a
+    dead tunnel HANGS jax device init (no error) — which would leave the
+    driver's bench capture with no JSON line at all.  So the parent
+    process (a) probes the TPU backend in a subprocess with a hard
+    timeout, retrying briefly, (b) runs the actual workload as a
+    deadline-bounded child, and (c) on a dead tunnel or a blown deadline
+    re-runs the child on CPU at a reduced batch, labeling the result —
+    an honest, much-slower number beats a hang.
+    """
+    import sys
+    import time as _time
+
+    from volt_tpu.utils.platform import tpu_probe_alive
+
+    if ("cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+            or os.environ.get("BENCH_CHILD") == "1"):
+        return main()  # explicit CPU smoke run, or we ARE the child
+
+    probe_timeout = float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "120"))
+    attempts = int(os.environ.get("BENCH_TPU_PROBE_ATTEMPTS", "3"))
+    alive = False
+    if os.environ.get("BENCH_FORCE_FALLBACK") != "1":
+        for i in range(attempts):
+            alive = tpu_probe_alive(probe_timeout)
+            if alive:
+                break
+            print(f"TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+            if i + 1 < attempts:
+                _time.sleep(float(os.environ.get("BENCH_TPU_PROBE_SLEEP",
+                                                 "60")))
+
+    if alive:
+        deadline = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+        line = _run_child({}, deadline)
+        if line is not None:
+            print(line)
+            return
+        print("TPU bench produced no metric; falling back to CPU",
+              file=sys.stderr)
+
+    # CPU fallback: same per-asset workload, reduced batch (single-core
+    # host), labeled so the record can't be mistaken for a chip number.
+    fb_assets = min(int(os.environ.get("BENCH_ASSETS", "64")),
+                    int(os.environ.get("BENCH_CPU_ASSETS", "8")))
+    line = _run_child(
+        {"JAX_PLATFORMS": "cpu", "BENCH_ASSETS": str(fb_assets),
+         "BENCH_REPEATS": "1",
+         "BENCH_NOTE": "CPU FALLBACK - TPU tunnel unreachable"},
+        float(os.environ.get("BENCH_CPU_DEADLINE_S", "5400")),
+    )
+    if line is None:
+        print(json.dumps({
+            "metric": "volt_fit_plus_1000path_rollout_throughput",
+            "value": 0.0,
+            "unit": "NO MEASUREMENT - TPU tunnel dead and CPU fallback "
+                    "failed; see driver stderr",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(3)
+    print(line)
+
+
 if __name__ == "__main__":
-    main()
+    supervise()

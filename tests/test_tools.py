@@ -95,6 +95,49 @@ class TestHarnessSmoke:
         assert all(np.isfinite(r["crps"]) for r in recs)
         assert "| volt-ewma |" in out_md.read_text()
 
+    def test_bench_supervisor_cpu_fallback(self):
+        # No JAX_PLATFORMS in the env: bench.py takes the supervisor
+        # path; BENCH_FORCE_FALLBACK skips the (slow, tunnel-touching)
+        # probe and must still deliver an honest, labeled CPU number.
+        env = {**os.environ, "BENCH_FORCE_FALLBACK": "1",
+               "BENCH_ASSETS": "2", "BENCH_NTRAIN": "64",
+               "BENCH_ITERS": "3", "BENCH_NSAMPLE": "8",
+               "BENCH_HORIZON": "8"}
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=540,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["value"] > 0
+        assert "CPU FALLBACK" in rec["unit"]
+
+    def test_bench_json_line_extraction(self):
+        import bench
+
+        noisy = ('WARNING: platform axon\n{"not": "it"}\n'
+                 '{"metric": "m", "value": 1.5, "unit": "u",'
+                 ' "vs_baseline": 2.0}\ntrailing\n')
+        line = bench._extract_json_line(noisy)
+        assert json.loads(line)["value"] == 1.5
+        assert bench._extract_json_line("no json here") is None
+
+    def test_tpu_probe_timeout_is_dead(self, monkeypatch):
+        from volt_tpu.utils import platform as vplat
+
+        def raise_timeout(*a, **k):
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=0.1)
+
+        monkeypatch.setattr(vplat.subprocess, "run", raise_timeout)
+        assert vplat.tpu_probe_alive(0.1) is False
+
+        class R:
+            returncode = 0
+
+        monkeypatch.setattr(vplat.subprocess, "run", lambda *a, **k: R())
+        assert vplat.tpu_probe_alive(0.1) is True
+
     def test_bench_scaling_writes_table(self, tmp_path):
         out_md = tmp_path / "scaling.md"
         _run(["tools/bench_scaling.py", "--sizes", "64", "--iters", "2",

@@ -11,10 +11,41 @@ Scripts therefore call :func:`configure_backend` immediately after
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
 
 import jax
 
-__all__ = ["configure_backend"]
+__all__ = ["configure_backend", "tpu_probe_alive"]
+
+
+_PROBE_CODE = (
+    "import jax, sys; ds = jax.devices(); "
+    "sys.exit(0 if ds and ds[0].platform != 'cpu' else 1)"
+)
+
+
+def tpu_probe_alive(timeout_s: float = 120.0) -> bool:
+    """Is the default (TPU) backend actually reachable right now?
+
+    This image's TPU plugin tunnels device init through a remote service
+    that goes dead for hours at a time — and a dead tunnel HANGS device
+    init rather than raising.  The only safe check is a subprocess with a
+    hard timeout: init the default backend there and see whether it comes
+    up as a non-CPU platform in time.  The probe must run in a subprocess
+    because a hung init in-process is unkillable and would wedge the
+    caller exactly the way it is trying to avoid.
+    """
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def configure_backend(cache_dir: str = "/tmp/volt_tpu_jax_cache") -> None:
