@@ -61,10 +61,13 @@ def main():
 
     # BENCH_STREAMS > 1 splits the batch into independently-dispatched
     # chunks so chunk i+1 computes while chunk i's samples stream to the
-    # host (dispatch is async; the fetch is the only sync point).
-    streams = max(int(os.environ.get("BENCH_STREAMS", "1")), 1)
-    chunk = n_assets // streams
-    ys_chunks = [train_ys[i * chunk:(i + 1) * chunk] for i in range(streams)]
+    # host (dispatch is async; the fetch is the only sync point).  Clamp
+    # to the asset count and spread any remainder so every asset is
+    # measured regardless of divisibility.
+    streams = min(max(int(os.environ.get("BENCH_STREAMS", "1")), 1),
+                  n_assets)
+    bounds = [round(i * n_assets / streams) for i in range(streams + 1)]
+    ys_chunks = [train_ys[bounds[i]:bounds[i + 1]] for i in range(streams)]
 
     def run(key):
         keys = jax.random.split(key, streams)
@@ -136,7 +139,7 @@ def _run_child(extra_env, timeout_s):
     import subprocess
     import sys
 
-    env = dict(os.environ, BENCH_CHILD="1", **extra_env)
+    env = dict(os.environ, _BENCH_SUPERVISED_CHILD="1", **extra_env)
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -170,21 +173,25 @@ def supervise():
     import sys
     import time as _time
 
-    from volt_tpu.utils.platform import tpu_probe_alive
+    from volt_tpu.utils.platform import cpu_requested, tpu_probe
 
-    if ("cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
-            or os.environ.get("BENCH_CHILD") == "1"):
-        return main()  # explicit CPU smoke run, or we ARE the child
+    if (cpu_requested()
+            or os.environ.get("_BENCH_SUPERVISED_CHILD") == "1"):
+        return main()  # explicit all-cpu smoke run, or we ARE the child
 
     probe_timeout = float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "120"))
     attempts = int(os.environ.get("BENCH_TPU_PROBE_ATTEMPTS", "3"))
     alive = False
     if os.environ.get("BENCH_FORCE_FALLBACK") != "1":
         for i in range(attempts):
-            alive = tpu_probe_alive(probe_timeout)
-            if alive:
+            verdict = tpu_probe(probe_timeout)
+            alive = verdict == "tpu"
+            if alive or verdict == "cpu-only":
+                # "cpu-only" is definitive (no TPU registered here at
+                # all) — retrying cannot change it.
                 break
-            print(f"TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+            print(f"TPU probe {i + 1}/{attempts} failed ({verdict})",
+                  file=sys.stderr)
             if i + 1 < attempts:
                 _time.sleep(float(os.environ.get("BENCH_TPU_PROBE_SLEEP",
                                                  "60")))
@@ -204,7 +211,7 @@ def supervise():
                     int(os.environ.get("BENCH_CPU_ASSETS", "8")))
     line = _run_child(
         {"JAX_PLATFORMS": "cpu", "BENCH_ASSETS": str(fb_assets),
-         "BENCH_REPEATS": "1",
+         "BENCH_REPEATS": "1", "BENCH_STREAMS": "1",
          "BENCH_NOTE": "CPU FALLBACK - TPU tunnel unreachable"},
         float(os.environ.get("BENCH_CPU_DEADLINE_S", "5400")),
     )

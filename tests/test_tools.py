@@ -130,13 +130,30 @@ class TestHarnessSmoke:
             raise subprocess.TimeoutExpired(cmd="probe", timeout=0.1)
 
         monkeypatch.setattr(vplat.subprocess, "run", raise_timeout)
+        assert vplat.tpu_probe(0.1) == "timeout"
         assert vplat.tpu_probe_alive(0.1) is False
 
         class R:
             returncode = 0
 
         monkeypatch.setattr(vplat.subprocess, "run", lambda *a, **k: R())
+        assert vplat.tpu_probe(0.1) == "tpu"
         assert vplat.tpu_probe_alive(0.1) is True
+
+        R.returncode = 1
+        assert vplat.tpu_probe(0.1) == "cpu-only"
+
+    def test_cpu_requested_parses_platform_lists(self, monkeypatch):
+        from volt_tpu.utils import platform as vplat
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert vplat.cpu_requested() is True
+        # a TPU-first priority list is NOT an explicit CPU request (a
+        # dead tunnel hangs the first entry; the cpu entry never engages)
+        monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+        assert vplat.cpu_requested() is False
+        monkeypatch.delenv("JAX_PLATFORMS")
+        assert vplat.cpu_requested() is False
 
     def test_bench_scaling_writes_table(self, tmp_path):
         out_md = tmp_path / "scaling.md"

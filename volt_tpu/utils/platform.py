@@ -16,25 +16,53 @@ import sys
 
 import jax
 
-__all__ = ["configure_backend", "tpu_probe_alive"]
+__all__ = ["configure_backend", "cpu_requested", "tpu_probe",
+           "tpu_probe_alive"]
 
 
+# The probe must COMPILE AND FETCH, not just enumerate devices: this
+# image's tunnel has failure modes where PJRT init succeeds but the
+# remote compiler / transfer path stalls (and block_until_ready never
+# syncs on axon — only a device_get fetch is a real barrier).
 _PROBE_CODE = (
-    "import jax, sys; ds = jax.devices(); "
-    "sys.exit(0 if ds and ds[0].platform != 'cpu' else 1)"
+    "import jax, jax.numpy as jnp, sys; ds = jax.devices(); "
+    "v = float(jax.device_get(jax.jit(lambda x: x + 1)(jnp.ones(())))); "
+    "sys.exit(0 if (ds and ds[0].platform != 'cpu' and v == 2.0) else 1)"
 )
 
 
-def tpu_probe_alive(timeout_s: float = 120.0) -> bool:
-    """Is the default (TPU) backend actually reachable right now?
+def cpu_requested() -> bool:
+    """True iff ``JAX_PLATFORMS`` in the environment names ONLY cpu.
+
+    A priority list like ``axon,cpu`` (what sitecustomize itself sets) is
+    a TPU-first request, not a CPU one — and a dead tunnel HANGS the axon
+    entry, so the cpu fallback entry never engages on its own.  Substring
+    checks must not treat such a list as an explicit CPU choice.
+    """
+    plats = [p.strip() for p in
+             os.environ.get("JAX_PLATFORMS", "").lower().split(",")
+             if p.strip()]
+    return bool(plats) and all(p == "cpu" for p in plats)
+
+
+def tpu_probe(timeout_s: float = 120.0) -> str:
+    """Probe the default (TPU) backend: ``"tpu"``, ``"cpu-only"`` or
+    ``"timeout"``.
 
     This image's TPU plugin tunnels device init through a remote service
     that goes dead for hours at a time — and a dead tunnel HANGS device
     init rather than raising.  The only safe check is a subprocess with a
-    hard timeout: init the default backend there and see whether it comes
-    up as a non-CPU platform in time.  The probe must run in a subprocess
-    because a hung init in-process is unkillable and would wedge the
-    caller exactly the way it is trying to avoid.
+    hard timeout: init the default backend there, compile-and-fetch a
+    trivial program, and see what comes back.  The probe must run in a
+    subprocess because a hung init in-process is unkillable and would
+    wedge the caller exactly the way it is trying to avoid.
+
+    ``"cpu-only"`` means the backend came up promptly but without a
+    usable non-CPU device (no TPU plugin on this machine, or the probe
+    program failed outright) — on this image's tunnel, transient faults
+    manifest as hangs, so a fast failure is treated as definitive and not
+    worth retrying; ``"timeout"`` is a (possibly transient) dead tunnel
+    and is worth retrying.
     """
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
@@ -43,9 +71,14 @@ def tpu_probe_alive(timeout_s: float = 120.0) -> bool:
             timeout=timeout_s, env=env,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
-        return r.returncode == 0
+        return "tpu" if r.returncode == 0 else "cpu-only"
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        return "timeout"
+
+
+def tpu_probe_alive(timeout_s: float = 120.0) -> bool:
+    """Boolean convenience wrapper over :func:`tpu_probe`."""
+    return tpu_probe(timeout_s) == "tpu"
 
 
 def configure_backend(cache_dir: str = "/tmp/volt_tpu_jax_cache") -> None:
@@ -57,7 +90,7 @@ def configure_backend(cache_dir: str = "/tmp/volt_tpu_jax_cache") -> None:
     (SIGILL risk — see ``__graft_entry__.py``), and CPU compiles of the
     toy shapes used off-chip are cheap anyway.
     """
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    if cpu_requested():
         jax.config.update("jax_platforms", "cpu")
         return
     jax.config.update("jax_compilation_cache_dir", cache_dir)
