@@ -171,6 +171,52 @@ class TestMultitaskBMGP:
 
 
 class TestMultitaskVariationalGP:
+    def test_exp_init_covar_matches_reference_clamp_order(self, rng):
+        """The exp-branch Laplace init clamps AFTER ``diag_embed``
+        (reference ``multi_task_variational_gp.py:54-57``), so the
+        task-averaged inverse Hessian is the DENSE
+        ``diag(mean) + 1e-4 (11^T - I)``, not a diagonal.  Pin
+        ``S = s_root s_root^T`` (root-choice invariant) against a float64
+        numpy restatement of the reference formula."""
+        from volt_tpu.gp.variational import running_std_latent_init
+
+        n, t = 24, 3
+        x = jnp.asarray((np.arange(n) + 1.0).astype(np.float32) / 252)
+        y = jnp.asarray((0.02 * rng.standard_normal((n, t))).astype(
+            np.float32))
+        lik = VolatilityGaussianLikelihood(param="exp")
+        module = MultitaskVariationalGP(num_tasks=t)
+        params = module.init(x)
+        init = module.initialize_variational_parameters(params, lik, {},
+                                                        x, y)
+        s_root = np.asarray(init["variational_covar_root"], np.float64)
+        s = s_root @ s_root.T
+
+        f, _ = running_std_latent_init(y.T)        # (T, N), shared input
+        f64 = np.asarray(f, np.float64)
+        y64 = np.asarray(y, np.float64).T          # (T, N)
+        diag_th = np.clip(0.5 * y64**-2.0 * np.exp(2.0 * f64), 1e-4,
+                          1000.0)                  # per-task diagonal
+        m = np.full((n, n), 1e-4)
+        np.fill_diagonal(m, diag_th.mean(axis=0))  # clamp AFTER diag_embed
+        kuu = np.asarray(module.data_kernel(params["data_kernel"], x),
+                         np.float64)
+        ell = np.linalg.cholesky(kuu)  # well-conditioned at n=24, no jitter
+        inner = ell.T @ m @ ell + np.eye(n)
+        s_ref = ell @ np.linalg.inv(inner) @ ell.T * 100.0
+        # measured float32-vs-oracle error ~3e-7 max-rel at n=24; the
+        # diag-only (clamp-before-embed) variant is off by ~3e-4, so
+        # 1e-5 discriminates with two orders of margin each way
+        rel = np.max(np.abs(s - s_ref) / (np.abs(s_ref) + 1e-12))
+        assert rel < 1e-5, rel
+        # and the off-diagonal 1e-4 term is load-bearing: the diag-only
+        # variant must NOT match at that tolerance
+        m_diag = np.diag(diag_th.mean(axis=0))
+        inner_d = ell.T @ m_diag @ ell + np.eye(n)
+        s_diag = ell @ np.linalg.inv(inner_d) @ ell.T * 100.0
+        rel_d = np.max(np.abs(s - s_diag) / (np.abs(s_diag) + 1e-12))
+        assert rel_d > 1e-4, rel_d
+
     def test_elbo_trains(self, rng):
         import optax
 
@@ -400,6 +446,14 @@ class TestMultitaskFBM:
             params, lik, lik_params, x, y
         )
         return mt, params, lik, lik_params, x, y
+
+    def test_spectral_paths_reject_fbm(self):
+        """The min-kernel spectrum is silently wrong (not failing) for a
+        non-BM data kernel; the guard must raise like sample_forecast's."""
+        mt = MultitaskBMGP(num_tasks=2, kernel="fbm")
+        x = jnp.arange(1, 25, dtype=jnp.float32) / 252.0
+        with pytest.raises(ValueError, match="BM data kernel"):
+            mt.spectral_cache(x, jnp.zeros((24, 2), jnp.float32))
 
     def test_init_elbo_predict_finite_at_high_hurst(self):
         mt, params, lik, lik_params, x, y = self._setup()

@@ -112,9 +112,16 @@ class MultitaskBMGP(ConfigEq):
         Same DST-like ``min(x)`` eigensystem as ``BMGP.spectral_cache``
         (see there for the formulas); projects ``y`` (N, T) and ``x``
         once so :meth:`mll_spectral` needs no ``eigh`` of the N x N data
-        kernel per Adam step.  BM kernel + equispaced ``x`` only
-        (validated by callers).
+        kernel per Adam step.  BM kernel + equispaced ``x`` only (the
+        grid check lives at the callers; the kernel family is guarded
+        here like :meth:`sample_forecast`, since the min-kernel spectrum
+        is silently wrong for FBM rather than failing).
         """
+        if not isinstance(self.data_kernel, BMKernel):
+            raise ValueError(
+                "spectral_cache/mll_spectral require the BM data kernel; "
+                "use mll for FBM"
+            )
         from ..ops.brownian import min_kernel_spectrum
 
         n = x.shape[-1]
@@ -311,9 +318,30 @@ class MultitaskVariationalGP(ConfigEq):
         if chol is None:
             chol = psd_safe_cholesky(self.data_kernel(params["data_kernel"],
                                                       x))
-        inner = _mm(jnp.swapaxes(chol, -1, -2) * mean_inv_hess[None, :], chol)
+        if getattr(likelihood, "param", "exp") == "cv":
+            inner = _mm(
+                jnp.swapaxes(chol, -1, -2) * mean_inv_hess[None, :], chol
+            )
+        else:
+            # Reference parity quirk (multi_task_variational_gp.py:54-57):
+            # the exp branch clamps AFTER diag_embed, so every per-task
+            # diagonal matrix gets its off-diagonal ZEROS raised to 1e-4
+            # and the task-averaged inverse Hessian is the dense
+            # ``diag(mean) + 1e-4 (11^T - I)``, not a diagonal.  (The cv
+            # branch above has no clamp in the reference — diag only.)
+            n_pts = mean_inv_hess.shape[-1]
+            m = jnp.full((n_pts, n_pts), 1e-4, mean_inv_hess.dtype)
+            m = m + jnp.diag(mean_inv_hess - 1e-4)
+            inner = _mm(jnp.swapaxes(chol, -1, -2), _mm(m, chol))
         inner = inner + jnp.eye(inner.shape[-1], dtype=inner.dtype)
-        # inner^{-1/2} via its Cholesky: inner = C C^T  =>  root = L C^{-T}
+        # inner^{-1/2} via its Cholesky: inner = C C^T  =>  root = L C^{-T}.
+        # Deliberate root-choice deviation: the reference takes
+        # ``root_inv_decomposition().root`` (an eigh-based symmetric
+        # root, multi_task_variational_gp.py:78); both are exact roots of
+        # inner^{-1}, but consumers ``tril`` the variational root, so the
+        # trilled starting points differ between the two choices (and
+        # from the un-trilled Laplace covariance) — an optimizer init
+        # detail, not a model-semantics one.
         c = psd_safe_cholesky(inner)
         inner_inv_root = jnp.linalg.solve(
             jnp.swapaxes(c, -1, -2), jnp.eye(c.shape[-1], dtype=c.dtype)

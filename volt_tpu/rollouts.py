@@ -318,9 +318,7 @@ def generate_prediction_dense(key, model: VoltState, test_x, pred_vol,
     test_x = jnp.asarray(test_x)
     pred_vol = jnp.asarray(pred_vol)
 
-    full_x = jnp.concatenate(
-        [jnp.broadcast_to(model.train_x, model.train_x.shape), test_x], -1
-    )
+    full_x = jnp.concatenate([model.train_x, test_x], -1)
     vol = jnp.exp(model.log_vol_path)
     batch = pred_vol.shape[:-1]
     vol_b = jnp.broadcast_to(vol, (*batch, vol.shape[-1]))
@@ -519,9 +517,10 @@ def _nonvol_scan(key, model, test_x, nsample):
         ))
         new_row = w.at[n_t].set(diag_new)
         l_buf = l_buf.at[n_t, :].set(new_row)
-        # extend u per path: u_new = (r_new - row . u) / diag
+        # extend u per path: u_new = (r_new - row . u) / diag, where
+        # row . u is exactly the cond_mean_resid contraction above
         r_new = y_t - m_t
-        u_new = (r_new - jnp.matmul(u_buf, w, precision=hp)) / diag_new
+        u_new = (r_new - cond_mean_resid) / diag_new
         u_buf = u_buf.at[:, n_t].set(u_new)
 
         if hist:
