@@ -219,6 +219,44 @@ class TestVariational:
         diag = np.diagonal(np.asarray(state.chol_variational_covar))
         assert (diag > 0).all()
 
+    def test_laplace_init_matches_reference_clamp_order(self, rng):
+        """The reference clamps the exp inverse Hessian AFTER
+        ``diag_embed`` (``single_task_variational_gp.py:221-225``), so
+        the matrix inside ``L^T H^{-1} L`` is the dense
+        ``diag(clamp(.)) + 1e-4 (11^T - I)``.  Pin ``S`` (root-product,
+        root-choice invariant) against a float64 restatement and check
+        the diag-only option measurably diverges."""
+        n = 24
+        x = (np.arange(n, dtype=np.float32) + 1) / 252
+        y = (0.02 * rng.standard_normal(n)).astype(np.float32)
+        kuu = jnp.asarray(
+            0.2 * np.minimum(x[:, None], x[None, :]).astype(np.float32)
+        )
+        state, _ = laplace_initialize(kuu, jnp.asarray(y))
+        root = np.asarray(state.chol_variational_covar, np.float64)
+        s = root @ root.T  # = 100 * S
+
+        from volt_tpu.gp.variational import running_std_latent_init
+
+        f, _ = running_std_latent_init(jnp.asarray(y))
+        f64 = np.asarray(f, np.float64)
+        y64 = np.asarray(y, np.float64)
+        diag = np.clip(0.5 * y64**-2.0 * np.exp(2.0 * f64), 1e-4, 1000.0)
+        m = np.full((n, n), 1e-4)
+        np.fill_diagonal(m, diag)
+        ell = np.linalg.cholesky(np.asarray(kuu, np.float64))
+        inner = ell.T @ m @ ell + np.eye(n)
+        s_ref = ell @ np.linalg.inv(inner) @ ell.T * 100.0
+        rel = np.max(np.abs(s - s_ref) / (np.abs(s_ref) + 1e-12))
+        assert rel < 1e-5, rel
+
+        state_d, _ = laplace_initialize(kuu, jnp.asarray(y),
+                                        exp_hessian="diag")
+        root_d = np.asarray(state_d.chol_variational_covar, np.float64)
+        s_d = root_d @ root_d.T
+        rel_d = np.max(np.abs(s - s_d) / (np.abs(s_d) + 1e-12))
+        assert rel_d > 1e-4, rel_d
+
     def test_elbo_matches_manual(self, rng):
         n = 12
         a = rng.standard_normal((n, n))

@@ -198,6 +198,13 @@ def running_std_latent_init(y, clamp_min: float = 1e-4):
     """
     y = jnp.asarray(y)
     n = y.shape[-1]
+    if n <= 10:
+        # the rs[10] pin needs an 11th entry; the reference IndexErrors
+        # here, we fail with the actual contract
+        raise ValueError(
+            f"running-std init needs at least 11 points (the first 10 "
+            f"entries are pinned to the 11th), got n={n}"
+        )
     s1 = jnp.cumsum(y, axis=-1)
     s2 = jnp.cumsum(y * y, axis=-1)
     # shift so entry i reflects y[:i] (exclusive)
@@ -214,25 +221,44 @@ def running_std_latent_init(y, clamp_min: float = 1e-4):
     return f, rs
 
 
+def exp_laplace_inv_hessian(y, f):
+    """Diagonal of the exp-parameterization Laplace curvature inverse,
+    ``clamp(0.5 y^-2 exp(2 f), 1e-4, 1e3)`` (reference
+    ``single_task_variational_gp.py:221-225``).  The single shared
+    definition of the clamp band — the full-rank, tridiag and multitask
+    init paths all use it, so they cannot drift apart (mirror of the
+    likelihood's cv-side ``laplace_inv_hessian``)."""
+    return jnp.clip(0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0)
+
+
 def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
-                       inv_hess=None, chol_kuu=None):
+                       inv_hess=None, chol_kuu=None,
+                       exp_hessian: str = "reference"):
     """Laplace-style variational init for the ``"exp"`` parameterization.
 
     Reference ``single_task_variational_gp.py:204-254``:
 
     * ``f`` from the running-std heuristic (unless supplied),
-    * ``H^{-1} = diag(clamp(0.5 * y^-2 * exp(2 f), 1e-4, 1e3))``,
+    * ``H^{-1} = clamp(diag_embed(0.5 * y^-2 * exp(2 f)), 1e-4, 1e3)`` —
+      the clamp runs AFTER ``diag_embed``, so the off-diagonal zeros are
+      raised to 1e-4 and the matrix is the dense
+      ``diag(clamp(.)) + 1e-4 (11^T - I)``, not a diagonal (parity
+      quirk, pinned against a float64 oracle in tests),
     * ``S = L (L^T H^{-1} L + I)^{-1} L^T`` with ``L = chol(Kuu)``,
     * stored root ``tril(chol(S)) * 10``.
 
     Returns ``(VariationalState, mean_constant_init)`` where the constant
     mean inits to ``log(mean(running_std))``.
 
-    ``inv_hess`` overrides the exp-parameterization curvature (the cv
-    init passes the exact autodiff Hessian of its own likelihood —
-    ``models/gpcv.py``); when omitted the exp closed form above is used.
-    ``chol_kuu`` optionally supplies a structure-aware prior factor
-    (see :func:`elbo_at_inducing`); ``kuu`` may then be ``None``.
+    ``inv_hess`` overrides the exp-parameterization curvature with an
+    explicit diagonal (the cv init passes the exact autodiff Hessian of
+    its own likelihood — ``models/gpcv.py``); when omitted the exp form
+    above is used, with ``exp_hessian="reference"`` replicating the dense
+    clamp-after-diag_embed quirk and ``"diag"`` using the plain diagonal
+    (the sparse extension's choice — its inducing grid is not the
+    reference's anyway).  ``chol_kuu`` optionally supplies a
+    structure-aware prior factor (see :func:`elbo_at_inducing`); ``kuu``
+    may then be ``None``.
     """
     y = jnp.asarray(y)
     if f is None:
@@ -242,18 +268,33 @@ def laplace_initialize(kuu, y, f=None, root_scale: float = 10.0,
         rs = None
         mean_const = None
 
+    dense_m = None
     if inv_hess is None:
-        inv_hess = jnp.clip(
-            0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
-        )
+        inv_hess = exp_laplace_inv_hessian(y, f)
+        if exp_hessian == "reference":
+            n = inv_hess.shape[-1]
+            eye = jnp.eye(n, dtype=bool)
+            dense_m = jnp.where(
+                eye, inv_hess[..., :, None],
+                jnp.asarray(1e-4, inv_hess.dtype),
+            )
+        elif exp_hessian != "diag":
+            raise ValueError("exp_hessian must be 'reference' or 'diag'")
 
     if chol_kuu is None:
         chol_kuu = psd_safe_cholesky(kuu)
-    inner = jnp.matmul(
-        jnp.swapaxes(chol_kuu, -1, -2) * inv_hess[..., None, :],
-        chol_kuu,
-        precision=_HIGHEST,
-    )
+    if dense_m is not None:
+        inner = jnp.matmul(
+            jnp.swapaxes(chol_kuu, -1, -2),
+            jnp.matmul(dense_m, chol_kuu, precision=_HIGHEST),
+            precision=_HIGHEST,
+        )
+    else:
+        inner = jnp.matmul(
+            jnp.swapaxes(chol_kuu, -1, -2) * inv_hess[..., None, :],
+            chol_kuu,
+            precision=_HIGHEST,
+        )
     inner = add_jitter(inner, 1.0)
     s = jnp.matmul(
         chol_kuu,

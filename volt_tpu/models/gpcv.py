@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..gp.variational import (
     VariationalState,
     elbo_at_inducing,
+    exp_laplace_inv_hessian,
     laplace_initialize,
     running_std_latent_init,
     variational_predict,
@@ -42,10 +43,22 @@ __all__ = ["GPCVModel", "GPCVState"]
 class GPCVState:
     module: "GPCVModel" = struct.field(pytree_node=False)
     params: dict
-    train_x: jax.Array
-    targets: jax.Array  # scaled returns
+    train_x: jax.Array  # the full return grid
+    targets: jax.Array  # scaled returns on train_x
+    # sparse (inducing-point) fits carry their m-point inducing grid here;
+    # dense fits leave it None (inducing == train, the unwhitened
+    # strategy's assumption)
+    inducing_x: jax.Array | None = None
 
     def predicted_scale(self, mc_samples=None, key=None):
+        if self.inducing_x is not None:
+            mean, var = self.module.latent_marginals(
+                self.params, self.inducing_x, self.train_x
+            )
+            return self.module.likelihood.expected_scale(
+                self.params["likelihood"], mean, jnp.maximum(var, 1e-8),
+                mc_samples=mc_samples, key=key,
+            )
         return self.module.predicted_scale(
             self.params, self.train_x, mc_samples=mc_samples, key=key
         )
@@ -179,9 +192,7 @@ class GPCVModel(ConfigEq):
         else:
             f, rs = running_std_latent_init(y)
             mean_const = jnp.log(jnp.mean(rs, axis=-1))
-            inv_hess = jnp.clip(
-                0.5 * y**-2.0 * jnp.exp(2.0 * f), min=1e-4, max=1000.0
-            )
+            inv_hess = exp_laplace_inv_hessian(y, f)
         vol = self.kernel.vol(kernel_params)[..., 0]
         a_diag, a_off, _ = min_precision(train_x, self._KL_JITTER / vol)
         # plain Laplace precision K^{-1} + diag(inv_hess) — deliberately
@@ -278,8 +289,6 @@ class GPCVModel(ConfigEq):
         kuu = None if chol_kuu is not None else self.kernel(
             kernel_params, inducing_x
         )
-        from ..gp.variational import running_std_latent_init
-
         f_exp, rs = running_std_latent_init(y)
         n = train_x.shape[-1]
         take = jnp.clip(
@@ -306,9 +315,11 @@ class GPCVModel(ConfigEq):
         # no x10 root inflation here: that is a full-rank-parity choice
         # (single_task_variational_gp.py:251); the sparse extension starts
         # at the plain Laplace covariance, which converges much faster.
+        # Likewise exp_hessian="diag": the clamp-after-diag_embed quirk is
+        # full-rank reference parity, not a principled curvature.
         state, _ = laplace_initialize(
             kuu, y[..., take], f=f_m, root_scale=1.0, inv_hess=inv_hess,
-            chol_kuu=chol_kuu,
+            chol_kuu=chol_kuu, exp_hessian="diag",
         )
         return {
             "kernel": kernel_params,
@@ -416,6 +427,10 @@ class GPCVModel(ConfigEq):
         Gauss–Hermite here unless ``mc_samples`` is given).
         """
         mean, var = self.latent_marginals(params, train_x, test_x)
+        # float32 cancellation in the unwhitened predictive (kxx - data
+        # + s) can leave a slightly negative variance at query points
+        # inside a dense train grid; the ELBO paths clamp identically.
+        var = jnp.maximum(var, 1e-8)
         return self.likelihood.expected_scale(
             params["likelihood"], mean, var, mc_samples=mc_samples, key=key
         )

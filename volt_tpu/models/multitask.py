@@ -308,8 +308,9 @@ class MultitaskVariationalGP(ConfigEq):
         else:
             f, rs = running_std_latent_init(y.T)  # per task: (T, N)
             f = f.T  # (N, T)
-            inv_hess = jnp.clip(0.5 * (y.T) ** -2.0 * jnp.exp(2.0 * f.T),
-                                min=1e-4, max=1000.0)  # (T, N)
+            from ..gp.variational import exp_laplace_inv_hessian
+
+            inv_hess = exp_laplace_inv_hessian(y.T, f.T)  # (T, N)
         mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
 
         # init runs eagerly (no jit DCE): build the dense Gram only when

@@ -6,7 +6,9 @@ matrix and ``D = diag(sqrt(dx))``, ``dx_j = x_j - x_{j-1}`` (``x_{-1}=0``).
 Consequently
 
 * ``L^{-1} b = diff(b) / sqrt(dx)``            — O(n), no factorization;
-* ``L^{-T} b = reverse-cumsum(b / sqrt(dx))``  — O(n);
+* ``L^{-T} b = backward-diff(b / sqrt(dx))``   — O(n)
+  (``z_i = c_i - c_{i+1}``; reverse-cumsum is ``L^T``'s *forward* action
+  scaled, not its inverse — see :func:`bm_solve_upper`);
 * ``logdet M = sum log dx``                    — O(n);
 * ``M + s I`` diagonalizes through the *fixed* eigendecomposition of ``M``
   once per grid: ``vol*M + s I = Q (vol*lam + s) Q^T`` for every
@@ -35,9 +37,6 @@ __all__ = [
     "min_kernel_spectrum",
     "spectral_n_ok",
 ]
-
-_LOG_2PI = math.log(2.0 * math.pi)
-
 
 def spectral_n_ok(n: int) -> bool:
     """Whether :func:`min_kernel_spectrum` is exact at this ``n``.

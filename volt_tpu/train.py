@@ -193,8 +193,11 @@ def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
         params["likelihood"], mean, jnp.maximum(var, 1e-8)
     )
     if return_model:
-        state = GPCVState(module=module, params=params, train_x=inducing_x,
-                          targets=yy)
+        # full grid + inducing grid kept distinct: the state's methods
+        # predict from the inducing posterior onto train_x, matching the
+        # pred_scale returned here (same grid, same values)
+        state = GPCVState(module=module, params=params, train_x=train_x,
+                          targets=yy, inducing_x=inducing_x)
         return pred_scale, state
     return pred_scale
 
