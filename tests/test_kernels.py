@@ -1,6 +1,7 @@
 """Kernel parity tests against literal float64 restatements of the
 reference formulas (file:line cites in each test)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -70,6 +71,34 @@ class TestFBMKernel:
             np.abs(s) ** h2 + np.abs(t) ** h2 - np.abs(s - t) ** h2
         )
         np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-5)
+
+    def test_diag_matches_full_without_materializing(self, rng):
+        x = np.sort(rng.random(12)).astype(np.float32)
+        kern = K.FBMKernel(vol=0.35)
+        params = kern.init()
+        d = kern(params, jnp.asarray(x), diag=True)
+        full = kern(params, jnp.asarray(x))
+        np.testing.assert_allclose(d, jnp.diagonal(full), rtol=1e-5,
+                                   atol=1e-7)
+        # self-covariance diag collapses to |x|^{2H}
+        np.testing.assert_allclose(
+            d, np.abs(x) ** (2 * 0.35), rtol=1e-3, atol=1e-6
+        )
+
+    def test_markov_closed_forms_guarded(self):
+        """The BMGP Kalman/Markov forecast surfaces are silently wrong
+        (not failing) under FBM; they must raise."""
+        from volt_tpu.models.bmgp import BMGP
+
+        gp = BMGP(kernel="fbm")
+        params = gp.init()
+        x = jnp.arange(1, 31, dtype=jnp.float32) / 252
+        y = jnp.zeros((30,), jnp.float32)
+        tx = x[-1] + jnp.arange(1, 4, dtype=jnp.float32) / 252
+        with pytest.raises(ValueError, match="BM kernel"):
+            gp.sample_forecast(jax.random.key(0), params, x, y, tx)
+        with pytest.raises(ValueError, match="BM kernel"):
+            gp.posterior_forecast(params, x, y, tx)
 
 
 class TestOUKernel:

@@ -114,13 +114,17 @@ class FBMKernel(ConfigEq):
         x1 = _as_grid(x1)
         x2 = x1 if x2 is None else _as_grid(x2)
         two_h = (2.0 * self.vol(params))[..., None]  # (..., 1, 1)
+        if diag:
+            # elementwise closed form, O(n) — no full-matrix build
+            th = two_h[..., 0]
+            return 0.5 * (
+                jnp.abs(x1) ** th + jnp.abs(x2) ** th
+                - jnp.abs(x1 - x2) ** th
+            )
         s = jnp.abs(x1[..., :, None])
         t = jnp.abs(x2[..., None, :])
         d = jnp.abs(x1[..., :, None] - x2[..., None, :])
-        cov = 0.5 * (s**two_h + t**two_h - d**two_h)
-        if diag:
-            return jnp.diagonal(cov, axis1=-2, axis2=-1)
-        return cov
+        return 0.5 * (s**two_h + t**two_h - d**two_h)
 
     def prior_cholesky(self, params, x, jitter=None, max_tries: int = 3):
         """Lower Cholesky of ``K(x, x)`` via the increment-domain identity.
@@ -375,9 +379,11 @@ class SpectralMixtureKernel(ConfigEq):
         min_dist = jnp.min(jnp.where(spacing > 0, spacing, jnp.inf), axis=-1)
         max_dist = xs[..., -1] - xs[..., 0]
         k1, k2 = jax.random.split(key)
-        scales = jnp.abs(
-            jax.random.truncated_normal(k1, -2.0, 2.0, shape, x.dtype)
-        ) / max_dist[..., None] + 1e-6
+        # gpytorch draws the RECIPROCAL of |randn| * max_dist (heavy-
+        # tailed, unbounded above), not |randn| / max_dist; the 1e-6
+        # floor on |z| only guards the measure-zero division blowup.
+        z = jnp.abs(jax.random.normal(k1, shape, x.dtype))
+        scales = 1.0 / (jnp.maximum(z, 1e-6) * max_dist[..., None])
         means = (
             jax.random.uniform(k2, shape, x.dtype)
             * 0.5

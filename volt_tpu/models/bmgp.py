@@ -74,6 +74,16 @@ class BMGP(ConfigEq):
         vol = self.kernel.vol(params["kernel"])
         return -0.5 * vol**2.0 * x
 
+    def _require_bm(self, method: str):
+        """The Markov/Kalman closed forms are BM-only; applied to an FBM
+        kernel they run without error but are silently far from the true
+        posterior (treating the Hurst parameter as the BM vol)."""
+        if not isinstance(self.kernel, BMKernel):
+            raise ValueError(
+                f"{method} requires the BM kernel (Markov closed forms); "
+                f"use posterior/sample for {type(self.kernel).__name__}"
+            )
+
     def mll(self, params, x, y):
         noise = self.likelihood.noise(params["likelihood"])
         if isinstance(self.kernel, FBMKernel):
@@ -90,12 +100,15 @@ class BMGP(ConfigEq):
         cov = self.kernel(params["kernel"], x)
         return exact_mll(y, self.mean(params, x), cov, noise)
 
-    # -- factorization-free training path (BM kernel only) ------------------
+    # -- eigendecomposition cross-check path (BM kernel only) ----------------
     #
     # K + s I = vol * M + s I with M = min(x) FIXED: eigendecompose M once
-    # per grid, and every (vol, noise) pair re-uses it — the per-iteration
-    # cost of the vol-model fit drops from O(n^3) to O(n^2) (the reference
-    # re-factorizes each Adam step, SURVEY.md §3.2 hot loop).
+    # per grid, and every (vol, noise) pair re-uses it — O(n^2) per step
+    # vs the reference's O(n^3) re-factorization (SURVEY.md §3.2 hot
+    # loop).  NOT the production fit path: training dispatches to
+    # mll_spectral (closed-form spectrum, O(n)/step) or mll_kalman (O(n)
+    # scan) — grid_cache/mll_fast survive as an independent form the
+    # tests pin those against.
 
     def grid_cache(self, x):
         if not isinstance(self.kernel, BMKernel):
@@ -202,6 +215,7 @@ class BMGP(ConfigEq):
         BM kernel only)."""
         from ..ops.tridiag import brownian_noise_filter
 
+        self._require_bm("forecast_state")
         vol = self.kernel.vol(params["kernel"])[..., 0]
         noise = self.likelihood.noise(params["likelihood"])[..., 0]
         resid = train_y - self.mean(params, train_x)
@@ -221,6 +235,7 @@ class BMGP(ConfigEq):
         was the last super-linear memory/compute object at large n
         (an n x n covariance + Cholesky per asset).
         """
+        self._require_bm("posterior_forecast")
         mu, p = self.forecast_state(params, train_x, train_y)
         vol = self.kernel.vol(params["kernel"])[..., 0]
         mean = self.mean(params, test_x) + mu[..., None]
@@ -237,6 +252,7 @@ class BMGP(ConfigEq):
         increments (cumsum) — no covariance materialization at all, so
         forecasting works unchanged at n in the tens of thousands.
         """
+        self._require_bm("sample_forecast")
         mu, p = self.forecast_state(params, train_x, train_y)
         vol = self.kernel.vol(params["kernel"])[..., 0]
         incs = vol[..., None] * jnp.diff(

@@ -9,8 +9,13 @@ frozen vol path and the nested vol GP; forecasting lives in
 
 TPU design notes:
 
-* the train covariance is *fixed* during data-model fitting (the vol path is
-  frozen), so the fit uses the O(n^2)-per-step eigendecomposition MLL path;
+* the train covariance is *fixed* during data-model fitting (the vol path
+  is frozen); the production fit exploits this through the O(n)-per-step
+  Kalman MLL (``ops/tridiag.brownian_noise_mll_kalman``, dispatched by
+  ``train._fit_volt`` / the pipeline).  The eigendecomposition fast path
+  (:meth:`VoltGP.make_cov_cache` / :meth:`VoltGP.mll_fixed_cov`) is kept
+  as an independent O(n^2)-per-step cross-check of the Kalman values —
+  exercised by tests only, no production callers;
 * the min-index structure of the volatility kernel gives the rollout a
   closed-form Markov conditional — the model deliberately exposes its
   running integral rather than a materialized covariance.
@@ -129,7 +134,11 @@ class VoltGP(ConfigEq):
         return exact_mll(y, self.train_mean(params, x, y), cov, noise)
 
     def mll_fixed_cov(self, params, cache, x, y):
-        """MLL against a pre-factorized covariance (fitting fast path)."""
+        """MLL against a pre-factorized covariance.
+
+        Cross-check twin of the production Kalman path (see module
+        docstring): tests pin the O(n) scan against this independent
+        O(n^2)-per-step eigendecomposition form."""
         noise = self.likelihood.noise(params["likelihood"])
         return exact_mll_fixed_cov(y, self.train_mean(params, x, y), cache,
                                    noise)

@@ -53,28 +53,34 @@ class Volt:
         multitask vol GP."""
         x = self.train_x
         data = jnp.exp(self.log_data)
+        # one user key seeds every randomness-consuming stage, split so
+        # the stages never share a key
+        k_gpcv, k_fit = jax.random.split(
+            key if key is not None else jax.random.key(0)
+        )
         if self.batched:
             if self.vol_path is not None:
                 scales = self.vol_path
             else:
                 scales = learn_gpcv_multitask(x[1:], data, gpcv_iters,
-                                              rank=self.rank, key=key)
+                                              rank=self.rank, key=k_gpcv)
             self.model, self.vol_model = train_volt_multitask(
                 x[1:], data[:, 1:], scales, train_iters=data_mod_iters,
                 vol_iters=vol_mod_iters, k=self.k,
                 mean_func=self.mean_name, rank=self.rank,
-                printing=display, key=key,
+                printing=display, key=k_fit,
             )
             return self.model
         if self.vol_path is not None:
             vol = self.vol_path
         else:
-            vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display)
+            vol = learn_gpcv(x[1:], data, gpcv_iters, printing=display,
+                             key=k_gpcv)
         vol_state = train_vol_model(x[1:], vol, vol_mod_iters,
                                     printing=display)
         self.model = train_volt_magpie(
             x[1:], data[1:], vol_state, vol, train_iters=data_mod_iters,
-            printing=display, k=self.k, mean_func=self.mean_name, key=key,
+            printing=display, k=self.k, mean_func=self.mean_name, key=k_fit,
         )
         return self.model
 
