@@ -29,11 +29,14 @@ class TestParserDefaults:
         assert a.ticker_fname == "test_tickers"
 
     def test_lstm_generator_defaults(self):
+        # reference LSTMGenerator.py:72-126 defaults: ntimes=25,
+        # horizon=20, seq_length=25, ntrain=400, epochs=200
         from volt_tpu.experiments.lstm_generator import build_parser
 
         a = build_parser().parse_args([])
-        assert (a.ntrain, a.ntimes, a.forecast_horizon) == (400, 25, 100)
-        assert a.seq_length == 2
+        assert (a.ntrain, a.ntimes, a.forecast_horizon) == (400, 25, 20)
+        assert a.seq_length == 25
+        assert a.train_epochs == 200
 
     def test_gp_generator_defaults(self):
         from volt_tpu.experiments.gp_generator import build_parser

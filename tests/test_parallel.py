@@ -194,6 +194,21 @@ class TestOptionPricingAtScale:
         assert pct.shape == (8, 2)
         assert ((pct >= 0) & (pct <= 1)).all()
 
+    def test_rejects_quantile_delivery(self, batch_data):
+        """A quantile fan is not MC paths; averaging payoffs over the
+        levels would be plausible garbage — must raise."""
+        import dataclasses
+
+        train_x, ys, test_x = batch_data
+        from volt_tpu.parallel import price_options_batch
+
+        qcfg = dataclasses.replace(CFG, output="quantiles")
+        with pytest.raises(ValueError, match="samples"):
+            price_options_batch(
+                jax.random.key(0), train_x, ys, test_x,
+                jnp.asarray([100.0]), jnp.asarray([2]), qcfg,
+            )
+
 
 class TestMultihostInitialize:
     """Contract of the DCN bring-up helper (``parallel/mesh.py``)."""

@@ -129,6 +129,31 @@ class TestOptions:
         assert df.iloc[0].Voltron > df.iloc[1].Voltron
         assert 0.0 <= df.iloc[0].Sample_Percentile <= 1.0
 
+    def test_sabr_horizon_semantics(self):
+        """``steps`` points discretize [0, T]: length is steps for any T,
+        and the per-step noise scale is sqrt(T/steps)."""
+        f1, v1 = sabr_paths(steps=64, T=1, seed=0)
+        f2, v2 = sabr_paths(steps=64, T=2, seed=0)
+        assert f1.shape == f2.shape == (64,)
+        # longer horizon at the same step count => larger increments
+        assert np.std(np.diff(np.log(f2))) > np.std(np.diff(np.log(f1)))
+
+    def test_pricer_empty_chain_keeps_schema(self, rng):
+        """No chain row matching any expiry must yield an empty frame
+        with the full column schema, not a Length-mismatch ValueError."""
+        import pandas as pd
+
+        paths = rng.lognormal(4.6, 0.1, (100, 2)).astype(np.float32)
+        edays = [pd.Timestamp("2022-01-21"), pd.Timestamp("2022-02-18")]
+        opts = pd.DataFrame({
+            "expiration": [pd.Timestamp("2023-06-16")],  # matches nothing
+            "strike": [100.0], "bid": [4.0], "ask": [4.5],
+        })
+        df = options.pricer(paths, opts, edays, np.array([101.0, 99.0]),
+                            100.0)
+        assert len(df) == 0
+        assert list(df.columns)[:2] == ["Expiry", "Strike"]
+
 
 class TestOptionPricesVsBlackScholes:
     """Under a constant vol path and constant mean, rollout dynamics are an

@@ -31,8 +31,12 @@ def sabr_paths(steps: int = 400, T: int = 1, F0: float = 10.0, V0: float = 0.2,
     bit-for-bit.
     """
     rng = np.random.default_rng(seed)
+    # `steps` points discretize the total horizon [0, T]: dt = T/steps,
+    # n = steps (the previous n = steps*T simulated a T^2 horizon at a
+    # doubled per-step noise scale for any T != 1; all shipped callers
+    # use T=1, for which this is bit-identical)
     dt = T / steps
-    n = steps * T
+    n = steps
     dw = rng.normal(0.0, np.sqrt(dt), (n_paths, n))
     dz = rho * dw + np.sqrt(1 - rho**2) * rng.normal(0.0, np.sqrt(dt),
                                                      (n_paths, n))

@@ -54,7 +54,12 @@ def load_prices(ticker: str, history: int, csv_dir=None,
             ]
         except Exception:
             pass
-    f, _ = sabr_paths(steps=history, seed=abs(hash(ticker)) % (2**31),
+    # stable per-ticker digest: str hash() is salted per process, which
+    # would give every CLI invocation (and the LSTM baseline's separate
+    # process) DIFFERENT synthetic paths for the same ticker
+    import zlib
+
+    f, _ = sabr_paths(steps=history, seed=zlib.crc32(ticker.encode()),
                       F0=100.0, V0=0.2)
     return f, None
 

@@ -55,10 +55,10 @@ def build_parser():
     p.add_argument("--ticker_fname", type=str, default="test_tickers")
     p.add_argument("--ntrain", type=int, default=400)
     p.add_argument("--ntimes", type=int, default=25)
-    p.add_argument("--forecast_horizon", type=int, default=100)
-    p.add_argument("--seq_length", type=int, default=2)
+    p.add_argument("--forecast_horizon", type=int, default=20)
+    p.add_argument("--seq_length", type=int, default=25)
     p.add_argument("--nsample", type=int, default=1000)
-    p.add_argument("--train_epochs", type=int, default=250)
+    p.add_argument("--train_epochs", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lookback", type=int, default=500)
     p.add_argument("--end_date", type=str, default="none")

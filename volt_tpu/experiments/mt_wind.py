@@ -42,7 +42,12 @@ def run_multitask_wind(names, station_data, ntrain: int = 400,
     for idx in range(len(station_data)):
         if conus_only and lonlat is not None and lonlat[idx][0] <= -128:
             continue
-        s = np.asarray(station_data[idx], np.float32)
+        # dead-station test runs AFTER the -99 -> 0 replacement (same
+        # order as gp_generator.py:69-71): an all-missing station would
+        # otherwise pass (mean == -99 != 0) and feed a constant series
+        # into the joint Kronecker fit, damaging every coupled station
+        s = np.asarray(station_data[idx], np.float32).copy()
+        s[s == -99.0] = 0.0
         if s.mean() != 0:
             keep.append(idx)
     names_list = [names[i] for i in keep]

@@ -95,10 +95,14 @@ def pricer(mc_pxs, options, edays, true_pxs, quote_price):
                 float(rtn), float(true_pxs[eday_idx]), quote_price, year,
                 pct,
             ])
-    df = pd.DataFrame(logger)
-    df.columns = ["Expiry", "Strike", "Bid", "Ask", "Voltron", "Return",
-                  "ExpClose", "QuoteClose", "Year", "Sample_Percentile"]
-    return df
+    # columns passed to the constructor so an empty chain (no expiry
+    # matched any eday) yields an empty frame with the right schema
+    # instead of a "Length mismatch" ValueError from .columns assignment
+    return pd.DataFrame(
+        logger,
+        columns=["Expiry", "Strike", "Bid", "Ask", "Voltron", "Return",
+                 "ExpClose", "QuoteClose", "Year", "Sample_Percentile"],
+    )
 
 
 # --- pandas date helpers (reference option_utils.py:6-24) -------------------

@@ -25,6 +25,7 @@ def make_mesh(axis_sizes=None, axis_names=("asset", "path"), devices=None):
     ``axis_sizes=None`` puts every device on the first axis.  Pass e.g.
     ``(4, 2)`` to split 8 devices into 4-way asset x 2-way path.
     """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -32,6 +33,20 @@ def make_mesh(axis_sizes=None, axis_names=("asset", "path"), devices=None):
         axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
     if int(np.prod(axis_sizes)) != n:
         raise ValueError(f"mesh {axis_sizes} does not cover {n} devices")
+    if not explicit:
+        # topology-aware placement: on a real slice, naive enumeration-
+        # order reshape can put a collective-carrying axis across
+        # non-adjacent chips; mesh_utils folds the physical ICI topology
+        # into the device array.  Falls back to the plain reshape where
+        # no topology info exists (host-platform CPU devices).
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(
+                tuple(axis_sizes), devices=devices
+            ), axis_names)
+        except Exception:
+            pass
     dev_array = np.asarray(devices).reshape(axis_sizes)
     return Mesh(dev_array, axis_names)
 

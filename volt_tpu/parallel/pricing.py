@@ -30,6 +30,15 @@ def price_options_batch(key, train_x, train_ys, test_x, strikes,
     Returns a dict with ``values (B, K, E)``, ``forwards (B, E)`` and
     optionally ``percentiles (B, E)``.
     """
+    if config.output != "samples":
+        # a quantile fan is (B, L, H) — averaging payoffs over the L
+        # levels as if they were MC paths would be finite, plausible
+        # garbage; the payoff expectation needs the raw paths
+        raise ValueError(
+            "price_options_batch needs raw MC paths; use "
+            "PipelineConfig(output='samples'), got "
+            f"output={config.output!r}"
+        )
     samples, aux = fit_forecast_batch(key, train_x, jnp.asarray(train_ys),
                                       test_x, config, mesh=mesh)
     expiry_steps = jnp.asarray(expiry_steps)
@@ -37,21 +46,24 @@ def price_options_batch(key, train_x, train_ys, test_x, strikes,
 
     @jax.jit
     def grid(log_paths):
-        px = jnp.exp(log_paths[..., expiry_steps])  # (B, S, E)
+        log_px = log_paths[..., expiry_steps]  # (B, S, E)
+        px = jnp.exp(log_px)
         payoff = jnp.maximum(
             px[:, None, :, :] - strikes[None, :, None, None], 0.0
         )
         values = jnp.mean(payoff, axis=2)  # (B, K, E)
         forwards = jnp.mean(px, axis=1)    # (B, E)
-        return values, forwards, px
+        return values, forwards, log_px
 
-    values, forwards, px = grid(samples)
+    values, forwards, log_px = grid(samples)
     out = {"values": values, "forwards": forwards, "samples": samples,
            "aux": aux}
     if realized is not None:
         realized = jnp.asarray(realized, jnp.float32)
+        # compare in log space directly (the paths ARE log prices) — no
+        # exp/log round-trip, no float32 flip of the strict < at ties
         out["percentiles"] = jnp.mean(
-            (jnp.log(px) < jnp.log(realized)[:, None, :]).astype(jnp.float32),
+            (log_px < jnp.log(realized)[:, None, :]).astype(jnp.float32),
             axis=1,
         )
     return out
