@@ -107,7 +107,10 @@ class TestWindParsing:
         rows = []
         for i in range(105_120):
             cols = ["0"] * ncols
-            cols[3], cols[4] = "-100.5", "40.1"
+            # USCRN subhourly layout: tokens 3/4 are LST_DATE/LST_TIME,
+            # 6/7 are LONGITUDE/LATITUDE (notebook iloc[0, 6]/[0, 7])
+            cols[3], cols[4] = "20210101", "0005"
+            cols[6], cols[7] = "-100.5", "40.1"
             cols[21] = "-99.0" if i % 7 == 0 else "3.5"
             rows.append(" ".join(cols))
         parsed = parse_uscrn_rows(rows)

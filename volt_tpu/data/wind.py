@@ -21,7 +21,10 @@ USCRN_BASE_URL = (
 )
 _EXPECTED_ROWS = 105_120  # 365 days * 288 five-minute rows
 _WIND_COL = 21
-_LON_COL, _LAT_COL = 3, 4
+# USCRN subhourly whitespace tokens: 6 = LONGITUDE, 7 = LATITUDE
+# (notebook ``dat.iloc[0, 6] / iloc[0, 7]``; tokens 3/4 are
+# LST_DATE/LST_TIME — reading those made the CONUS lon filter a no-op)
+_LON_COL, _LAT_COL = 6, 7
 
 
 def parse_uscrn_rows(lines):
@@ -53,7 +56,7 @@ def build_wind_dataset(out_path: str = "wind_data.p", year: int = 2021,
     soup = BeautifulSoup(index.text, "html.parser")
     files = [a["href"] for a in soup.find_all("a")
              if a.get("href", "").endswith(".txt")]
-    if limit:
+    if limit is not None:  # limit=0 means "scrape nothing", not "all"
         files = files[:limit]
 
     names, lonlats, data = {}, [], []
@@ -63,9 +66,11 @@ def build_wind_dataset(out_path: str = "wind_data.p", year: int = 2021,
         if parsed is None:
             continue
         lonlat, wind = parsed
-        names[len(data)] = fname.replace("CRNS0101-05-", "").replace(
-            ".txt", ""
-        )
+        # notebook name slice url[17:-4]: strips "CRNS0101-05-YYYY-",
+        # yielding e.g. "AK_Cordova_14_ESE" (year prefix removed too)
+        names[len(data)] = fname.replace(
+            f"CRNS0101-05-{year}-", ""
+        ).replace(".txt", "")
         lonlats.append(lonlat)
         data.append(wind)
 

@@ -90,23 +90,30 @@ class LSTMState:
         return samples.T * self.train_std + self.train_mean
 
 
-def _nll(out, targets):
+def _nll_vec(out, targets):
+    """Per-window Gaussian NLL terms (reference ``LSTM.py:72-74`` sums
+    these over the batch)."""
     mean, std = out[:, 0], out[:, 1]
-    return jnp.sum(
-        0.5 * ((targets - mean) / std) ** 2 + jnp.log(std)
-        + 0.5 * math.log(2 * math.pi)
-    )
+    return (0.5 * ((targets - mean) / std) ** 2 + jnp.log(std)
+            + 0.5 * math.log(2 * math.pi))
 
 
 @partial(jax.jit, static_argnames=("seq_len", "hidden_size", "num_layers",
                                    "epochs", "batch_size", "lr"))
 def _train(key, y, seq_len, hidden_size, num_layers, epochs, batch_size, lr):
-    mean, std = jnp.mean(y), jnp.std(y)
+    # ddof=1: the reference normalizes by torch.Tensor.std() (Bessel-
+    # corrected); the biased jnp default mis-scaled targets/forecasts by
+    # sqrt((n-1)/n) vs the module's stated parity
+    mean, std = jnp.mean(y), jnp.std(y, ddof=1)
     norm = (y - mean) / std
     windows, targets = make_windows(norm, seq_len)
     n = windows.shape[0]
     batch_size = min(batch_size, n)
-    nbatch = max(n // batch_size, 1)
+    # ceil, not floor: the reference DataLoader (drop_last=False) trains
+    # on the n % batch_size remainder windows too; static shapes are
+    # kept by padding the permutation with -1 and masking the loss
+    nbatch = -(-n // batch_size)
+    pad = nbatch * batch_size - n
 
     net = _Net(hidden_size, num_layers)
     k_init, key = jax.random.split(key)
@@ -116,14 +123,21 @@ def _train(key, y, seq_len, hidden_size, num_layers, epochs, batch_size, lr):
 
     def epoch(carry, k):
         params, opt_state = carry
-        perm = jax.random.permutation(k, n)[: nbatch * batch_size]
+        perm = jax.random.permutation(k, n)
+        perm = jnp.concatenate(
+            [perm, jnp.full((pad,), -1, perm.dtype)]
+        )
         batches = perm.reshape(nbatch, batch_size)
 
         def bstep(c, bidx):
             p, s = c
-            bw, bt = windows[bidx], targets[bidx]
+            mask = (bidx >= 0).astype(jnp.float32)
+            safe = jnp.maximum(bidx, 0)
+            bw, bt = windows[safe], targets[safe]
             loss, g = jax.value_and_grad(
-                lambda q: _nll(net.apply({"params": q}, bw), bt)
+                lambda q: jnp.sum(
+                    _nll_vec(net.apply({"params": q}, bw), bt) * mask
+                )
             )(p)
             updates, s = opt.update(g, s)
             return (optax.apply_updates(p, updates), s), loss

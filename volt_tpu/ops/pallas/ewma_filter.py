@@ -21,6 +21,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tiling import round_up as _round_up
+
 from ..ewma import _ewma_weights_np
 
 __all__ = ["ewma_pallas"]
@@ -28,8 +30,6 @@ __all__ = ["ewma_pallas"]
 _TILE = 512
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @lru_cache(maxsize=32)

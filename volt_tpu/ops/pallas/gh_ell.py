@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tiling import round_up
+
 from ..quadrature import DEFAULT_NUM_LOCS, gauss_hermite_nodes
 
 __all__ = ["gh_expected_log_prob"]
@@ -212,7 +214,7 @@ def _bwd_call(num_locs: int, interpret: bool):
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gh_ell_2d(y, mu, s2, num_locs: int, interpret: bool):
     n = y.shape[-1]
-    n_pad = -(-n // _TILE) * _TILE
+    n_pad = round_up(n, _TILE)
     y2, mu2, s22 = _pad((y, mu, s2), n, n_pad, var_idx=2)
     return _fwd_call(num_locs, interpret)(y2, mu2, s22)[..., :n]
 
@@ -224,7 +226,7 @@ def _gh_ell_2d_fwd(y, mu, s2, num_locs, interpret):
 def _gh_ell_2d_bwd(num_locs, interpret, res, g):
     y, mu, s2 = res
     n = y.shape[-1]
-    n_pad = -(-n // _TILE) * _TILE
+    n_pad = round_up(n, _TILE)
     y2, mu2, s22, g2 = _pad((y, mu, s2, g), n, n_pad, var_idx=2)
     dy, dmu, ds2 = _bwd_call(num_locs, interpret)(y2, mu2, s22, g2)
     return dy[..., :n], dmu[..., :n], ds2[..., :n]

@@ -19,18 +19,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tiling import round_up
+
 __all__ = ["volt_covariance", "volt_covariance_grad"]
 
 _TILE = 256
 
 
 def _kernel(integral_ref, out_ref):
-    b = pl.program_id(0)
+    # the BlockSpec delivers only THIS batch row's integral (see below),
+    # so no dynamic batch index is needed in-kernel
     i = pl.program_id(1)
     j = pl.program_id(2)
 
-    rows = integral_ref[b, pl.ds(i * _TILE, _TILE)]
-    cols = integral_ref[b, pl.ds(j * _TILE, _TILE)]
+    rows = integral_ref[0, 0, pl.ds(i * _TILE, _TILE)]
+    cols = integral_ref[0, 0, pl.ds(j * _TILE, _TILE)]
     row_ids = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
                + i * _TILE)
     col_ids = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
@@ -44,12 +47,17 @@ def _kernel(integral_ref, out_ref):
 def _volt_covariance_padded(integral, interpret: bool):
     b, n = integral.shape
     grid = (b, n // _TILE, n // _TILE)
+    # Per-batch-row input block: VMEM holds one (n,)-row per grid step
+    # instead of the whole (b, n) batch (which approached the VMEM
+    # budget at large b*n).  The row rides as a (1, 1, n) block of a
+    # 3-D view so the sublane dim equals the array dim (this image's
+    # Pallas rejects sub-(8, 128) blocks otherwise — CLAUDE.md).
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, n), integral.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, n), lambda b_, i, j: (0, 0),
+            pl.BlockSpec((1, 1, n), lambda b_, i, j: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -57,7 +65,7 @@ def _volt_covariance_padded(integral, interpret: bool):
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(integral)
+    )(integral[:, None, :])
 
 
 @jax.custom_vjp
@@ -109,7 +117,7 @@ def volt_covariance(x, vol, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    n_pad = -(-n // _TILE) * _TILE
+    n_pad = round_up(n, _TILE)
     if n_pad != n:
         integral = jnp.pad(integral, ((0, 0), (0, n_pad - n)), mode="edge")
         out = _volt_covariance_padded(integral, interpret)[:, :n, :n]
