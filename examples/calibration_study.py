@@ -19,6 +19,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --cpu must take effect BEFORE configure_backend: otherwise the
+# persistent compilation cache is enabled first (TPU-only on purpose —
+# CPU AOT artifacts from the remote compiler risk SIGILL) and only then
+# the platform flips
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +34,6 @@ from volt_tpu.utils.platform import configure_backend  # noqa: E402
 
 configure_backend()  # JAX_PLATFORMS=cpu honored; TPU gets the compile cache
 
-from volt_tpu.data import sabr_paths
 from volt_tpu.parallel import PipelineConfig, fit_forecast_batch
 
 NTRAIN, H, WINDOWS = 252, 20, 64
@@ -35,33 +41,24 @@ DT = 1.0 / 252
 LEVELS = np.linspace(0.1, 0.9, 9)
 
 
+# single source of the window generators and the coverage metric
+# (shared with tools/eval_compare.py): volt_tpu.data.universes /
+# volt_tpu.calibration.interval_coverage
+from volt_tpu.data import gbm_windows as _gbm_windows  # noqa: E402
+from volt_tpu.data import sabr_windows as _sabr_windows  # noqa: E402
+from volt_tpu.calibration import interval_coverage  # noqa: E402
+
+
 def gbm_windows(rng, vol=0.25):
-    z = rng.standard_normal((WINDOWS, NTRAIN + H - 1))
-    logp = np.concatenate(
-        [np.zeros((WINDOWS, 1)), np.cumsum(vol * np.sqrt(DT) * z, axis=1)],
-        axis=1,
-    )
-    return (50.0 * np.exp(logp)).astype(np.float32)
+    return _gbm_windows(rng, WINDOWS, NTRAIN, H, vol=vol)
 
 
 def sabr_windows():
-    f, _ = sabr_paths(steps=NTRAIN + H, seed=11, n_paths=WINDOWS)
-    return np.asarray(f, np.float32)
+    return _sabr_windows(WINDOWS, NTRAIN, H)
 
 
 def coverage(samples, truth):
-    """Empirical central-interval coverage per nominal level.
-
-    ``samples``: (W, S, H) log-price forecasts; ``truth``: (W, H) realized
-    log prices.  A realized point is covered at level p when it falls
-    inside the central p-interval of the sample distribution.
-    """
-    lo_q = 0.5 - LEVELS / 2
-    hi_q = 0.5 + LEVELS / 2
-    lo = np.quantile(samples, lo_q, axis=1)  # (L, W, H)
-    hi = np.quantile(samples, hi_q, axis=1)
-    inside = (truth[None] >= lo) & (truth[None] <= hi)
-    return inside.mean(axis=(1, 2))  # (L,)
+    return interval_coverage(samples, truth, LEVELS)
 
 
 def run(prices):
@@ -156,6 +153,5 @@ if __name__ == "__main__":
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (e.g. when the TPU "
                         "tunnel is degraded)")
-    if p.parse_args().cpu:
-        jax.config.update("jax_platforms", "cpu")
+    p.parse_args()  # --cpu already took effect before configure_backend
     main()

@@ -14,6 +14,16 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Backend selection must run BEFORE any jax config/device use: sitecustomize
+# force-selects the TPU plugin, a dead tunnel hangs its init, and the
+# compilation cache must stay TPU-only (utils/platform.configure_backend).
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,7 +85,8 @@ def main(args):
 
 
 def make_figure(train_x, prices, v_true, vol, test_x, vol_paths, px_paths,
-                out_path="examples/example_output.png"):
+                out_path=os.path.join(os.path.dirname(__file__),
+                                      "example_output.png")):
     """The tutorial's 3-panel figure (example.ipynb cell 17): data+vol,
     learned vs true vol with forecasts, price forecasts."""
     import matplotlib
@@ -120,6 +131,5 @@ if __name__ == "__main__":
                     help="force the CPU backend (e.g. when the TPU "
                          "tunnel is degraded)")
     args = p.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # --cpu already took effect before configure_backend() above
     main(args)

@@ -16,6 +16,16 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Backend selection must run BEFORE any jax config/device use: sitecustomize
+# force-selects the TPU plugin, a dead tunnel hangs its init, and the
+# compilation cache must stay TPU-only (utils/platform.configure_backend).
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+from volt_tpu.utils.platform import configure_backend  # noqa: E402
+
+configure_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +99,5 @@ if __name__ == "__main__":
                    help="force the CPU backend (e.g. when the TPU "
                         "tunnel is degraded)")
     args = p.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # --cpu already took effect before configure_backend() above
     main(args)

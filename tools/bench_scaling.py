@@ -78,8 +78,12 @@ def main(args):
     lines = [
         "# BENCH_SCALING — sequence-length scaling (one v5e chip)",
         "",
-        "Fit (3x300 Adam iters) + 1000-path x 100-step rollout, single",
-        "asset, min of 3 runs.  The reference is O(n^3)/iteration and",
+        # provenance interpolated from the actual run config — a table
+        # written at reduced shapes must not claim the production ones
+        f"Fit (3x{args.iters} Adam iters) + {args.nsample}-path x "
+        f"100-step rollout, single",
+        f"asset, min of {args.reps} run(s).  The reference is "
+        "O(n^3)/iteration and",
         "guards n <= ~2000 (`max_cholesky_size`, GPGenerator.py:62).",
         "",
         "| n | seconds | GPCV mode |",

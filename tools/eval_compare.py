@@ -57,41 +57,22 @@ DT = 1.0 / 252
 LEVELS = np.linspace(0.1, 0.9, 9)
 
 
-def gbm_windows(rng, w, ntrain, h, vol=0.25):
-    z = rng.standard_normal((w, ntrain + h - 1))
-    logp = np.concatenate(
-        [np.zeros((w, 1)), np.cumsum(vol * np.sqrt(DT) * z, axis=1)], axis=1
-    )
-    return (50.0 * np.exp(logp)).astype(np.float32)
-
-
-def sabr_windows(w, ntrain, h):
-    from volt_tpu.data import sabr_paths
-
-    f, _ = sabr_paths(steps=ntrain + h, seed=11, n_paths=w)
-    return np.asarray(f, np.float32)
-
-
-def wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25):
-    """Squared-OU wind-speed surrogate: mean-reverting, heteroscedastic,
-    strictly positive after the reference's ``+1`` shift
-    (``GPGenerator.py:49,56``: ``-99 -> 0`` then ``data + 1``)."""
-    n = ntrain + h
-    x = np.empty((w, n))
-    x[:, 0] = 0.5 * rng.standard_normal(w)
-    z = rng.standard_normal((w, n))
-    for t in range(1, n):
-        x[:, t] = (1.0 - rho) * x[:, t - 1] + sig * z[:, t]
-    return (1.0 + 2.0 * x * x).astype(np.float32)
+# single source of the evaluation universes (shared with
+# examples/calibration_study.py): volt_tpu.data.universes
+from volt_tpu.data import (  # noqa: E402
+    gbm_windows,
+    sabr_windows,
+    wind_windows,
+)
 
 
 def metrics(samples, truth):
     """samples (W, S, H) log-price forecasts; truth (W, H) realized."""
     from volt_tpu.calibration import crps
 
-    lo = np.quantile(samples, 0.5 - LEVELS / 2, axis=1)  # (L, W, H)
-    hi = np.quantile(samples, 0.5 + LEVELS / 2, axis=1)
-    cov = ((truth[None] >= lo) & (truth[None] <= hi)).mean(axis=(1, 2))
+    from volt_tpu.calibration import interval_coverage
+
+    cov = interval_coverage(samples, truth, LEVELS)
     calib_err = float(np.abs(cov - LEVELS).mean())
     crps_val = float(np.mean(jax.vmap(crps)(jnp.asarray(samples),
                                             jnp.asarray(truth))))

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["sample_percentiles", "calibration", "calibration_curve", "crps",
-           "coverage_from_quantiles"]
+           "coverage_from_quantiles", "interval_coverage"]
 
 
 def sample_percentiles(samples, truth):
@@ -69,6 +69,26 @@ def calibration_curve(samples_list, truths_list, levels=None):
         for s, t in zip(samples_list, truths_list)
     ])
     return calibration(pcts, levels)
+
+
+def interval_coverage(samples, truth, levels):
+    """Empirical central-interval coverage per nominal level.
+
+    ``samples``: ``(W, S, H)`` forecasts; ``truth``: ``(W, H)`` realized
+    values; ``levels``: ``(L,)`` nominal central levels.  Returns the
+    ``(L,)`` fraction of realized points inside each central interval,
+    pooled over windows x steps (the shared metric of
+    ``examples/calibration_study.py`` and ``tools/eval_compare.py``).
+    """
+    import numpy as np
+
+    samples = np.asarray(samples)
+    truth = np.asarray(truth)
+    levels = np.asarray(levels)
+    lo = np.quantile(samples, 0.5 - levels / 2, axis=1)  # (L, W, H)
+    hi = np.quantile(samples, 0.5 + levels / 2, axis=1)
+    inside = (truth[None] >= lo) & (truth[None] <= hi)
+    return inside.mean(axis=(1, 2))
 
 
 def crps(samples, truth):
