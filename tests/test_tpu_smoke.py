@@ -47,6 +47,7 @@ class TestPallasDispatchOnChip:
 
     def test_volt_covariance_batched_and_grad(self):
         from volt_tpu.kernels import VolatilityKernel
+        from volt_tpu.ops.volint import min_index_covariance, vol_integral
 
         n, b = 128, 4
         x = jnp.arange(n, dtype=jnp.float32) * (1.0 / 252)
@@ -54,7 +55,10 @@ class TestPallasDispatchOnChip:
         kern = VolatilityKernel()
         cov = _fetch(kern({}, x, vol))
         assert cov.shape == (b, n, n)
-        assert np.isfinite(cov).all()
+        # per-batch-row BlockSpec (round 3): every batch row must stay
+        # bit-identical to the XLA twin, not merely finite
+        want = _fetch(min_index_covariance(vol_integral(x, vol)))
+        np.testing.assert_array_equal(cov, want)
         g = _fetch(jax.grad(lambda v: jnp.sum(kern({}, x, v)))(vol))
         assert np.isfinite(g).all() and (np.abs(g) > 0).any()
 
