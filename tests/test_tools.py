@@ -60,6 +60,12 @@ class TestHarnessSmoke:
         for name in ("full", "gpcv_1", "vol_1", "data_1", "mc_1path"):
             assert name in out, name
 
+    def test_bench_voltcov(self):
+        out = _run(["tools/bench_voltcov.py", "--batch", "2", "--n", "64",
+                    "--reps", "2"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["stage"] == "volt_cov_build" and rec["bit_identical"]
+
     def test_bench_fbm(self):
         out = _run(["tools/bench_fbm.py", "--ntrain", "64", "--assets",
                     "2", "--horizon", "8", "--nsample", "8", "--iters",
