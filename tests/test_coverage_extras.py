@@ -179,10 +179,10 @@ class TestFBMIncrementDomainParity:
         got = float(module.mll(params, x, y))
         # float64 dense oracle: log N(y; mean, K + s I) / n
         h = float(module.kernel.vol(params["kernel"])[0])
+        from reference_oracles import fbm_gram
+
         xs = np.asarray(x, np.float64)
-        s_ = np.abs(xs[:, None]); t_ = np.abs(xs[None, :])
-        d_ = np.abs(xs[:, None] - xs[None, :])
-        k = 0.5 * (s_ ** (2 * h) + t_ ** (2 * h) - d_ ** (2 * h))
+        k = fbm_gram(xs, two_h=2 * h)
         noise = float(module.likelihood.noise(params["likelihood"])[0])
         mean = -0.5 * h**2 * xs
         import scipy.stats
@@ -201,11 +201,10 @@ class TestFBMIncrementDomainParity:
         ts = np.asarray(test_x, np.float64)
         xa = np.concatenate([xs, ts])
 
+        from reference_oracles import fbm_gram
+
         def gram(a, b):
-            return 0.5 * (
-                np.abs(a[:, None]) ** (2 * h) + np.abs(b[None, :]) ** (2 * h)
-                - np.abs(a[:, None] - b[None, :]) ** (2 * h)
-            )
+            return fbm_gram(a, b, two_h=2 * h)
 
         noise = float(module.likelihood.noise(params["likelihood"])[0])
         k_tr = gram(xs, xs) + noise * np.eye(len(xs))

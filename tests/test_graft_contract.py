@@ -1,6 +1,7 @@
 """Guards for the driver contract (__graft_entry__) and tridiagonal
 property battery."""
 
+import os
 import sys
 
 import jax
@@ -10,9 +11,12 @@ import pytest
 import scipy.stats
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, REPO)
         import __graft_entry__ as g
 
         fn, args = g.entry()
@@ -22,7 +26,7 @@ class TestGraftEntry:
         assert bool(jnp.all(jnp.isfinite(samples)))
 
     def test_dryrun_multichip_8(self, devices):
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, REPO)
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)  # asserts sharding + finiteness internally

@@ -30,9 +30,10 @@ class TestBMKernel:
     def test_batched(self, rng):
         x = np.sort(rng.random(10)).astype(np.float32)
         kern = K.BMKernel(batch_shape=(3,))
+        # perturb per-batch vols through the initialized dict so the test
+        # tracks any future param-schema change
         params = kern.init()
-        # perturb per-batch vols
-        params = {"raw_vol": jnp.asarray([[-1.0], [0.0], [1.0]], jnp.float32)}
+        params["raw_vol"] = jnp.asarray([[-1.0], [0.0], [1.0]], jnp.float32)
         got = kern(params, jnp.asarray(x))
         assert got.shape == (3, 10, 10)
         for b, raw in enumerate([-1.0, 0.0, 1.0]):

@@ -91,7 +91,7 @@ class TestLongSeries:
         assert float(g) == pytest.approx(fd, rel=1e-2)
 
     def test_long_rollout(self, long_series):
-        # Markov rollout over a 1000-step horizon from a 16k-point history.
+        # Markov rollout over a 250-step horizon from the 8192-point history.
         train_x, prices, _ = long_series
         from volt_tpu.models.bmgp import BMGP
         from volt_tpu.models.volt import VoltGP, make_mean

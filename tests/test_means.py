@@ -9,13 +9,7 @@ import pytest
 from volt_tpu import means as M
 
 
-def _ewma_np(y, k):
-    y = np.asarray(y, np.float64)
-    alpha = 2.0 / (k + 1)
-    w = alpha * (1 - alpha) ** np.arange(k - 1, -1, -1, dtype=np.float64)
-    w = w / w.sum()
-    padded = np.concatenate([np.full(k, y[0]), y])
-    return np.convolve(padded, w[::-1], mode="valid")
+from reference_oracles import ewma_reference as _ewma_np
 
 
 class TestDeterministicMeans:

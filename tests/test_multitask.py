@@ -476,11 +476,10 @@ class TestMultitaskFBM:
         got = float(mt.kl_divergence(params, x))
 
         h = float(mt.data_kernel.vol(params["data_kernel"])[0])
+        from reference_oracles import fbm_gram
+
         xs = np.asarray(x, np.float64)
-        k_data = 0.5 * (
-            np.abs(xs[:, None]) ** (2 * h) + np.abs(xs[None, :]) ** (2 * h)
-            - np.abs(xs[:, None] - xs[None, :]) ** (2 * h)
-        )
+        k_data = fbm_gram(xs, two_h=2 * h)
         k_task = np.asarray(
             mt.index_kernel.covar_matrix(params["index_kernel"]), np.float64
         )

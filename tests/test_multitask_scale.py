@@ -227,11 +227,22 @@ class TestMultitaskChainT64:
                                      nsample=s)
         assert samples.shape == (t, s, h)
         assert bool(jnp.all(jnp.isfinite(samples)))
-        # cross-asset correlation actually flows through the task covar:
-        # the sampled vol paths are not task-independent
-        log_vols = mt_state.sample_forecast(jax.random.key(1), test_x,
-                                            (400,))
-        last = np.asarray(log_vols[:, -1, :])  # (400, T)
-        corr = np.corrcoef(last[:, :8].T)
-        off_diag = np.abs(corr - np.eye(8))
-        assert float(off_diag.max()) > 0.05
+        # Cross-asset correlation actually flows through the task covar.
+        # The fitted coupling on independent SABR paths is rightly ~0, so
+        # asserting on it is statistically vacuous (max|corr| > 0.05 holds
+        # under the null with 400 draws); instead inflate/zero the task
+        # factor surgically and check the sampler tracks it — measured
+        # coupled/decoupled mean |off-diag|: 0.47 vs 0.02 at S=800.
+        def corr_stat(state):
+            lv = state.sample_forecast(jax.random.key(1), test_x, (800,))
+            last = np.asarray(lv[:, -1, :])  # (S, T)
+            corr = np.corrcoef(last[:, :8].T)
+            return float(np.abs(corr - np.eye(8)).mean())
+
+        tk = mt_state.params["task_kernel"]
+        strong = {**mt_state.params, "task_kernel": {
+            **tk, "covar_factor": jnp.ones((t, 1), jnp.float32)}}
+        weak = {**mt_state.params, "task_kernel": {
+            **tk, "covar_factor": jnp.zeros((t, 1), jnp.float32)}}
+        assert corr_stat(mt_state.replace(params=strong)) > 0.3
+        assert corr_stat(mt_state.replace(params=weak)) < 0.1

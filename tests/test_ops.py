@@ -223,14 +223,7 @@ class TestQuadrature:
 # ---------------------------------------------------------------------------
 
 
-def _ewma_reference(y, k):
-    """Literal restatement of reference means/EWMA.py:20-37 in numpy f64."""
-    y = np.asarray(y, np.float64)
-    alpha = 2.0 / (k + 1)
-    w = alpha * (1 - alpha) ** np.arange(k - 1, -1, -1, dtype=np.float64)
-    w = w / w.sum()
-    padded = np.concatenate([np.full(k, y[0]), y])
-    return np.convolve(padded, w[::-1], mode="valid")
+from reference_oracles import ewma_reference as _ewma_reference
 
 
 class TestEwma:
@@ -336,13 +329,11 @@ class TestVolIntegral:
 # ---------------------------------------------------------------------------
 
 
+from reference_oracles import fbm_gram
+
+
 def _fbm_gram(x, two_h):
-    """float64 oracle for the FBMKernel Gram matrix (FBMKernel.py:38-59)."""
-    x = np.asarray(x, np.float64)
-    s = np.abs(x[:, None])
-    t = np.abs(x[None, :])
-    d = np.abs(x[:, None] - x[None, :])
-    return 0.5 * (s**two_h + t**two_h - d**two_h)
+    return fbm_gram(x, two_h=two_h)
 
 
 class TestFbmCholesky:

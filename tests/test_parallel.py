@@ -173,10 +173,8 @@ class TestPipeline:
 class TestOptionPricingAtScale:
     def test_price_grid_sharded(self, batch_data, devices):
         from volt_tpu.parallel import price_options_batch
-        import numpy as np
 
         train_x, ys, test_x = batch_data
-        mesh = None
         strikes = jnp.asarray([80.0, 100.0, 120.0])
         expiries = jnp.asarray([2, 5])
         realized = np.asarray(ys)[:, -1:] * np.ones((1, 2))

@@ -40,8 +40,7 @@ NSAMPLE = 64
 
 @pytest.fixture(scope="module")
 def base(std_fitted):
-    train_x, train_y, test_x, vol, vol_state, _ = std_fitted
-    return train_x, train_y, test_x, vol, vol_state
+    return std_fitted  # (train_x, train_y, test_x, vol, vol_state, model)
 
 
 @pytest.mark.parametrize(
@@ -56,9 +55,16 @@ def base(std_fitted):
     ids=["ewma", "dewma", "tewma", "meanrevert", "ewma-theta"],
 )
 def test_volt_rollout_matches_dense_per_path(base, mean_func, theta):
-    train_x, train_y, test_x, vol, vol_state = base
-    model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
-                              train_iters=40, k=20, mean_func=mean_func)
+    train_x, train_y, test_x, vol, vol_state, std_model = base
+    if mean_func == "ewma":
+        # exact std_fitted config (iters=40, k=20, ewma): reuse the
+        # session fit instead of refitting (CLAUDE.md reuse rule) —
+        # covers both the plain and the theta-on ewma cases
+        model = std_model
+    else:
+        model = train_volt_magpie(train_x, train_y[1:], vol_state, vol,
+                                  train_iters=40, k=20,
+                                  mean_func=mean_func)
 
     key = jax.random.key(1234)
     k_vol, k_z = jax.random.split(key)
@@ -87,7 +93,7 @@ def test_volt_rollout_matches_dense_per_path(base, mean_func, theta):
 def test_nonvol_sm_magpie_matches_dense_per_path(base):
     from volt_tpu.train import _fit_basic
 
-    train_x, train_y, test_x, _, _ = base
+    train_x, train_y, test_x, _, _, _ = base
     log_y = jnp.log(train_y[1:])
     module = SMGP(num_mixtures=4, mean=EWMAMean(20))
     params = module.init(key=jax.random.key(0))
