@@ -120,6 +120,33 @@ class TestMultitaskWindDriver:
         loaded = pickle.load(open(tmp_path / "mt.p", "rb"))
         assert loaded["x_paths"].shape == (3, 8, 5)
 
+    def test_station_filters(self):
+        """Dead stations (all -99 sentinel) and, under conus_only,
+        stations west of -128 longitude must be dropped BEFORE the joint
+        fit — the dead-station test runs after the -99 -> 0 replacement
+        (an all-missing station has mean -99 != 0 on raw data and would
+        otherwise slip through as a constant series coupled into every
+        station's Kronecker fit)."""
+        from volt_tpu.experiments import run_multitask_wind
+
+        rng = np.random.default_rng(1)
+        good = [np.abs(rng.standard_normal(80)).astype(np.float32) + 0.5
+                for _ in range(2)]
+        dead = np.full(80, -99.0, np.float32)
+        alaska = np.abs(rng.standard_normal(80)).astype(np.float32) + 0.5
+        data = [good[0], dead, good[1], alaska]
+        names = {0: "ok1", 1: "dead", 2: "ok2", 3: "AK"}
+        lonlat = [(-100.0, 40.0), (-101.0, 41.0), (-102.0, 42.0),
+                  (-150.0, 61.0)]
+        out = run_multitask_wind(
+            names, data, ntrain=60, forecast_horizon=4, nsample=4,
+            gpcv_iters=5, vol_iters=5, k=20, lonlat=lonlat,
+            conus_only=True,
+        )
+        assert out["names_list"] == ["ok1", "ok2"]
+        assert out["x_paths"].shape == (2, 4, 4)
+        assert np.isfinite(out["x_paths"]).all()
+
 
 class TestMultitaskGPCV:
     def test_learn_gpcv_multitask(self):
