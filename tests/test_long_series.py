@@ -37,6 +37,27 @@ class TestLongSeries:
         ratio = float(jnp.median(vol)) / np.median(vol_true)
         assert 0.3 < ratio < 3.0, ratio
 
+    def test_sparse_return_model_state_consistent(self):
+        """The sparse state carries the FULL grid plus its inducing grid:
+        state.predicted_scale() must reproduce the function's direct
+        return on the same (full) grid — regression for the round-3 fix
+        where train_x was the m-point inducing grid paired with n-point
+        targets, so the state's own methods answered on a different grid
+        than the function."""
+        rng = np.random.default_rng(5)
+        n = 400
+        rets = 0.2 * np.sqrt(DT) * rng.standard_normal(n)
+        prices = 100.0 * np.exp(np.cumsum(rets)).astype(np.float32)
+        train_x = jnp.arange(n - 1, dtype=jnp.float32) * DT  # return grid
+        vol, state = learn_gpcv_sparse(train_x, jnp.asarray(prices),
+                                       num_inducing=64, train_iters=20,
+                                       return_model=True)
+        assert state.train_x.shape == (n - 1,)
+        assert state.inducing_x.shape[0] <= 64
+        again = state.predicted_scale()
+        np.testing.assert_allclose(np.asarray(again), np.asarray(vol),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_mll_at_scale(self, long_series):
         # the production data-model MLL (the float32 Kalman scan every
         # training loop drives) at n = 8k: O(n) work, no factorization.
