@@ -46,6 +46,28 @@ class TestVoltAPI:
         assert samples.shape == (16, 8)
         assert np.isfinite(np.asarray(samples)).all()
 
+    def test_train_key_is_seed_controlling(self):
+        """Train(key=...) must actually reach the randomness-consuming
+        stages (the unbatched branch used to drop it for GPCV; the
+        batched branch reused one key twice): same key => identical
+        forecasts, different key => different forecasts."""
+        f, _ = sabr_paths(steps=80, seed=3)
+        dt = 1.0 / 252
+        train_x = jnp.arange(80, dtype=jnp.float32) * dt
+        test_x = jnp.arange(4, dtype=jnp.float32) * dt + train_x[-1] + dt
+
+        def run(train_key, fc_key):
+            m = Volt(train_x, jnp.log(jnp.asarray(f)), mean="ewma", k=20)
+            m.Train(gpcv_iters=15, vol_mod_iters=15, data_mod_iters=10,
+                    key=train_key)
+            return np.asarray(m.Forecast(test_x, nsample=8, key=fc_key))
+
+        a = run(jax.random.key(7), jax.random.key(1))
+        b = run(jax.random.key(7), jax.random.key(1))
+        c = run(jax.random.key(8), jax.random.key(2))
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, c)
+
     def test_supplied_vol_path_skips_gpcv(self):
         # reference Volt accepts vol_path (Volt.py:18-19) but Train
         # discards it; here a supplied path is used (fix by design —
