@@ -81,6 +81,22 @@ class TestHarnessSmoke:
                   for l in out.strip().splitlines() if l.startswith("{")}
         assert stages == {"mt_vol_fit", "mt_gpcv_fit", "mt_vol_forecast"}
 
+    def test_bench_compile(self):
+        out = _run(["tools/bench_compile.py", "--unrolls", "1", "--assets",
+                    "2", "--ntrain", "64", "--horizon", "8", "--iters",
+                    "2", "--nsample", "8", "--reps", "1"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["backend"] == "cpu" and rec["unroll"] == "1"
+        assert rec["first_s"] > 0 and rec["steady_ms"] > 0
+
+    def test_bench_refit(self):
+        out = _run(["tools/bench_refit.py", "--assets", "2", "--ntrain",
+                    "64", "--horizon", "8", "--iters", "30",
+                    "--warm-iters", "3", "--nsample", "8", "--reps", "1"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["stage"] == "warm_refit" and rec["ok"]
+        assert rec["warm_ms"] > 0 and rec["vol_rel_err_mean"] < 1.0
+
     def test_robustness_sweep(self):
         out = _run(["tools/robustness_sweep.py", "--seeds", "1",
                     "--assets", "2", "--ntrain", "64", "--iters", "2",
@@ -148,6 +164,22 @@ class TestHarnessSmoke:
 
         R.returncode = 1
         assert vplat.tpu_probe(0.1) == "cpu-only"
+
+    def test_scan_unroll_env_override(self, monkeypatch):
+        from volt_tpu.utils import platform as vplat
+
+        # non-TPU backends always scan at unroll=1 (the suite runs on CPU)
+        monkeypatch.setenv("VOLT_TPU_SCAN_UNROLL", "16")
+        assert vplat.scan_unroll(32) == 1
+        # on TPU: per-site default unless the env var overrides
+        monkeypatch.setattr(vplat.jax, "default_backend", lambda: "tpu")
+        assert vplat.scan_unroll(32) == 16
+        monkeypatch.delenv("VOLT_TPU_SCAN_UNROLL")
+        assert vplat.scan_unroll(32) == 32
+        monkeypatch.setenv("VOLT_TPU_SCAN_UNROLL", "0")   # clamped
+        assert vplat.scan_unroll(32) == 1
+        monkeypatch.setenv("VOLT_TPU_SCAN_UNROLL", "junk")
+        assert vplat.scan_unroll(8) == 8
 
     def test_cpu_requested_parses_platform_lists(self, monkeypatch):
         from volt_tpu.utils import platform as vplat

@@ -204,11 +204,18 @@ def brownian_noise_mll_kalman(v, sigma2, resid):
     zeros = jnp.zeros(batch, resid.dtype)
     # The filter is latency-bound, not flop-bound: each step is a handful
     # of elementwise ops over the batch lanes, so per-step dispatch
-    # dominates.  Unrolling trades compile size for ~1.9x on-chip at
-    # B=500, n=999 (measured ladder: 2.37/1.93/1.46/1.25 ms per MLL+grad
-    # at unroll 1/8/16/32).  TPU only: on CPU the unrolled HLO roughly
+    # dominates and unrolling trades HLO size (first-compile time) for
+    # steady-state.  Isolated MLL+grad ladder at B=500, n=999:
+    # 2.37/1.93/1.46/1.25 ms at unroll 1/8/16/32 — but END-TO-END the
+    # pipeline measures the same at 8 and 32 (B=64: 115.2 vs 114.4 ms;
+    # B=500: 274.3 vs 300.0 ms per batch) while 32 compiles the B=500
+    # program ~30 s slower cold (tools/bench_compile.py, PERFORMANCE.md),
+    # so 8 is the default.  TPU only: on CPU the unrolled HLO roughly
     # doubles the test suite's compile wall-time for no benefit.
-    unroll = 32 if jax.default_backend() == "tpu" else 1
+    # VOLT_TPU_SCAN_UNROLL overrides.
+    from ..utils.platform import scan_unroll
+
+    unroll = scan_unroll(8)
     (_, _, ll), _ = lax.scan(
         step, (zeros, zeros, zeros),
         (jnp.moveaxis(delta_b, -1, 0), jnp.moveaxis(resid_b, -1, 0)),

@@ -15,6 +15,7 @@ from .pipeline import (
     fit_forecast,
     fit_forecast_batch,
     shard_batch,
+    warm_start,
 )
 
 __all__ = [
@@ -24,5 +25,6 @@ __all__ = [
     "fit_forecast",
     "fit_forecast_batch",
     "shard_batch",
+    "warm_start",
     "price_options_batch",
 ]

@@ -27,7 +27,7 @@ from ..rollouts import _rollout_volt_scan, sample_vol_paths
 from ..train import _adam_scan, scaled_returns
 
 __all__ = ["PipelineConfig", "fit_forecast", "fit_forecast_batch",
-           "shard_batch"]
+           "shard_batch", "warm_start"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,7 +123,8 @@ def _check_min_length(train_x):
         )
 
 
-def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
+def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig,
+                 init_params=None):
     """Fit + forecast one asset.
 
     ``train_y``: prices, one longer than ``train_x`` (the return grid).
@@ -132,23 +133,32 @@ def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig):
     ``(len(quantile_levels), H)`` (``aux`` then also carries
     ``forecast_mean``/``forecast_std``); ``aux`` carries the inferred vol
     path and fitted parameters.
+
+    ``init_params``: optional warm start — a ``{"gpcv", "vol", "volt"}``
+    pytree (from :func:`warm_start` on a previous fit's ``aux``) that
+    seeds the three Adam scans instead of the cold Laplace/default inits,
+    so a live system can re-fit each new tick with an order of magnitude
+    fewer iterations.  Same compiled program shape — only the initial
+    parameter values change.
     """
     config = _resolve_config(config)
     _check_min_length(train_x)
     _check_spectral_grid(train_x, config)
-    return _fit_forecast_jit(key, train_x, train_y, test_x, config)
+    return _fit_forecast_jit(key, train_x, train_y, test_x, config,
+                             init_params)
 
 
 @partial(jax.jit, static_argnames=("config",))
 def _fit_forecast_jit(key, train_x, train_y, test_x,
-                      config: PipelineConfig):
+                      config: PipelineConfig, init_params=None):
     k_lik, k_roll = jax.random.split(key)
 
     # ---- stage 1: GPCV ----------------------------------------------------
     yy = scaled_returns(train_x, train_y)
     gpcv = GPCVModel(kernel=config.kernel, num_locs=config.num_locs,
                      q=config.gpcv_q)
-    gpcv_params = gpcv.init(train_x, yy, key=k_lik)
+    gpcv_params = (gpcv.init(train_x, yy, key=k_lik)
+                   if init_params is None else init_params["gpcv"])
     gpcv_params, gpcv_losses = _adam_scan(
         lambda p: -gpcv.elbo(p, train_x, yy),
         gpcv_params, config.gpcv_iters, config.gpcv_lr,
@@ -172,15 +182,17 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
         vol_loss_fn = lambda p: -bm.mll_kalman(p, train_x, log_vol)
     else:
         vol_loss_fn = lambda p: -bm.mll(p, train_x, log_vol)
+    vol_init = (bm.init() if init_params is None else init_params["vol"])
     vol_params, vol_losses = _adam_scan(
-        vol_loss_fn, bm.init(), config.vol_iters, config.vol_lr
+        vol_loss_fn, vol_init, config.vol_iters, config.vol_lr
     )
     vol_state = bm.fit_state(vol_params, train_x, log_vol)
 
     # ---- stage 3: Volt data model (tridiagonal-precision MLL; O(n)/step) --
     log_y = jnp.log(train_y[..., 1:])
     volt = VoltGP(mean=make_mean(config.mean_func, k=config.k))
-    volt_params = volt.init()
+    volt_params = (volt.init() if init_params is None
+                   else init_params["volt"])
     v_integral = volt.kernel.integral(train_x, vol)
     if volt.mean.is_history_dependent:
         mean_vec = volt.train_mean(volt_params, train_x, log_y)
@@ -249,6 +261,7 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
         "data_losses": data_losses,
         "volt_params": volt_params,
         "vol_params": vol_params,
+        "gpcv_params": gpcv_params,
     }
     if config.output == "quantiles":
         aux["forecast_mean"] = jnp.mean(samples, axis=-2)
@@ -256,11 +269,17 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     return out, aux
 
 
-def _batched(key, train_x, train_ys, test_x, config: PipelineConfig):
+def _batched(key, train_x, train_ys, test_x, config: PipelineConfig,
+             init_params=None):
     keys = jax.random.split(key, train_ys.shape[0])
+    if init_params is None:
+        return jax.vmap(
+            lambda k, ty: _fit_forecast_jit(k, train_x, ty, test_x, config)
+        )(keys, train_ys)
     return jax.vmap(
-        lambda k, ty: _fit_forecast_jit(k, train_x, ty, test_x, config)
-    )(keys, train_ys)
+        lambda k, ty, ip: _fit_forecast_jit(k, train_x, ty, test_x, config,
+                                            ip)
+    )(keys, train_ys, init_params)
 
 
 def shard_batch(mesh, output: str = "samples"):
@@ -276,13 +295,85 @@ def shard_batch(mesh, output: str = "samples"):
     return asset, out_samples
 
 
+def _shift_tail(a, shift: int):
+    """Roll the last axis left by ``shift``, replicating the final entry.
+
+    A train window sliding forward by ``shift`` ticks drops the oldest
+    ``shift`` data points and appends ``shift`` new ones; per-datum
+    variational parameters stay aligned by shifting with the window, and
+    the new tail points start from the latest filtered estimate (the
+    previous final entry) — the natural warm start for a Markov prior.
+    """
+    pad = jnp.repeat(a[..., -1:], shift, axis=-1)
+    return jnp.concatenate([a[..., shift:], pad], axis=-1)
+
+
+def warm_start(aux, shift: int = 0, n: int | None = None):
+    """``init_params`` for :func:`fit_forecast` / :func:`fit_forecast_batch`
+    from a previous fit's ``aux``.
+
+    ``shift=0`` re-seeds a fit of the SAME window (e.g. continuing with
+    more iterations).  ``shift>0`` is the rolling-backtest / live-serving
+    case — the new window slides forward ``shift`` ticks at the same
+    length: per-datum GPCV variational leaves are shifted with the window
+    (``n`` = the return-grid length ``train_x.shape[-1]`` must be given so
+    per-datum leaves are recognized); scalar hyperparameters and the
+    vol/data-model parameters carry over unchanged.  Sparse-GPCV inducing
+    leaves (length m < n) live on window-relative positions and correctly
+    carry over as-is.
+
+    The reference has no warm path — every backtest window refits from
+    scratch (``GenerateMultiMeanPreds.py:63-137``).  Here a warm refit
+    reuses the already-compiled program (the pytree shapes are identical)
+    and needs ~10x fewer iterations for the same fit quality
+    (``tests/test_parallel.py::TestWarmStart``, ``tools/bench_refit.py``).
+    """
+    gpcv = dict(aux["gpcv_params"])
+    if shift:
+        if n is None:
+            raise ValueError("warm_start(shift>0) needs n (the return-grid "
+                             "length train_x.shape[-1])")
+        for k, v in gpcv.items():
+            if not hasattr(v, "ndim") or v.ndim == 0:
+                continue
+            if k == "chol_variational_covar":
+                # dense variational Cholesky: shift both data axes; the
+                # re-tril'd replicated tail keeps a nonzero diagonal —
+                # a valid (if crude) starting root for q's covariance.
+                # (Dispatch by NAME: its trailing dim is also n, so a
+                # shape test would mis-route it to the vector branch.)
+                cols = _shift_tail(v, shift)
+                rows = jnp.moveaxis(
+                    _shift_tail(jnp.moveaxis(cols, -1, -2), shift), -1, -2
+                )
+                gpcv[k] = jnp.tril(rows)
+            elif k == "q_log_d" and v.shape[-1] == n:
+                # diagonal of the tridiagonal family's bidiagonal
+                # PRECISION factor: its final entry is the boundary row
+                # (no subdiagonal after it — distinctly smaller than the
+                # interior's near-cancelling (d, e) pairs).  Replicating
+                # it onto interior rows leaves those rows of the factor
+                # nearly singular (huge marginal variance -> the exp
+                # likelihood explodes), so shift the interior and keep
+                # the boundary entry at the boundary.
+                interior = _shift_tail(v[..., :-1], shift)
+                gpcv[k] = jnp.concatenate([interior, v[..., -1:]], axis=-1)
+            elif v.shape[-1] in (n, n - 1):        # per-datum vectors
+                gpcv[k] = _shift_tail(v, shift)
+    return {"gpcv": gpcv, "vol": aux["vol_params"],
+            "volt": aux["volt_params"]}
+
+
 def fit_forecast_batch(key, train_x, train_ys, test_x,
-                       config: PipelineConfig, mesh=None):
+                       config: PipelineConfig, mesh=None, init_params=None):
     """Fit + forecast a batch of assets, sharded over the mesh.
 
     ``train_ys``: ``(B, n+1)`` prices.  Returns ``(out (B, S, H), aux)``
     with ``B`` sharded over the ``asset`` axis and ``S`` over ``path``
     (``config.output="quantiles"``: ``out (B, L, H)``, asset-sharded).
+
+    ``init_params``: optional batched warm start (leading asset axis on
+    every leaf) — :func:`warm_start` on a previous batch's ``aux``.
     """
     train_ys = jnp.asarray(train_ys)
     config = _resolve_config(config)
@@ -290,13 +381,17 @@ def fit_forecast_batch(key, train_x, train_ys, test_x,
     _check_spectral_grid(train_x, config)
     if mesh is None:
         return jax.jit(_batched, static_argnames=("config",))(
-            key, train_x, train_ys, test_x, config
+            key, train_x, train_ys, test_x, config, init_params
         )
     asset_sh, samples_sh = shard_batch(mesh, config.output)
     train_ys = jax.device_put(train_ys, asset_sh)
+    if init_params is not None:
+        # every warm-start leaf is per-asset (leading B) — co-shard them
+        # with the price batch so the refit stays communication-free
+        init_params = jax.device_put(init_params, asset_sh)
     fn = jax.jit(
         _batched,
         static_argnames=("config",),
         out_shardings=(samples_sh, None),
     )
-    return fn(key, train_x, train_ys, test_x, config)
+    return fn(key, train_x, train_ys, test_x, config, init_params)

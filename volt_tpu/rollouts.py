@@ -173,9 +173,10 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
 
     # With the O(1) mean state the step body is a few elementwise ops —
     # dispatch-bound, so unroll (see brownian_noise_mll_kalman; TPU only,
-    # CPU pays the compile for no benefit).
-    unroll = 8 if ((fast or not hist)
-                   and jax.default_backend() == "tpu") else 1
+    # CPU pays the compile for no benefit; VOLT_TPU_SCAN_UNROLL overrides).
+    from .utils.platform import scan_unroll
+
+    unroll = scan_unroll(8) if (fast or not hist) else 1
     _, samples = lax.scan(body, carry0, (sds.T, zs.T, m_det, mean_xs),
                           unroll=unroll)
     return samples.T  # (S, H)

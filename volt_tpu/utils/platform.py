@@ -16,8 +16,8 @@ import sys
 
 import jax
 
-__all__ = ["configure_backend", "cpu_requested", "tpu_probe",
-           "tpu_probe_alive"]
+__all__ = ["configure_backend", "cpu_requested", "scan_unroll",
+           "tpu_probe", "tpu_probe_alive"]
 
 
 # The probe must COMPILE AND FETCH, not just enumerate devices: this
@@ -95,3 +95,27 @@ def configure_backend(cache_dir: str = "/tmp/volt_tpu_jax_cache") -> None:
         return
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def scan_unroll(default_tpu: int) -> int:
+    """Unroll factor for the latency-bound scans (Kalman MLL, rollout).
+
+    On TPU these scans are dispatch-bound (a handful of elementwise ops
+    per step), so unrolling trades HLO size — and therefore first-compile
+    time — for measured per-step wins (ladders in ``ops/tridiag.py`` /
+    ``rollouts.py``).  ``VOLT_TPU_SCAN_UNROLL`` overrides the per-site
+    TPU default for users who care more about time-to-first-forecast
+    than steady-state (compile-time ladder: PERFORMANCE.md).  Non-TPU
+    backends always get 1: the unrolled HLO roughly doubles CPU compile
+    wall for no runtime benefit.
+
+    Read at trace time — set the env var before the first call of the
+    process (an already-jitted program keeps the unroll it traced with).
+    """
+    if jax.default_backend() != "tpu":
+        return 1
+    raw = os.environ.get("VOLT_TPU_SCAN_UNROLL", "")
+    try:
+        return max(1, int(raw)) if raw else default_tpu
+    except ValueError:
+        return default_tpu
