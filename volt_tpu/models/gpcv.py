@@ -88,7 +88,8 @@ class GPCVModel(ConfigEq):
     """
 
     def __init__(self, kernel: str = "bm", param: str = "exp",
-                 num_locs: int = DEFAULT_NUM_LOCS, q: str = "full"):
+                 num_locs: int = DEFAULT_NUM_LOCS, q: str = "full",
+                 ell_method: str | None = None):
         if kernel == "bm":
             self.kernel = BMKernel()
         elif kernel == "fbm":
@@ -105,6 +106,14 @@ class GPCVModel(ConfigEq):
         self.mean = ConstantMean()
         self.likelihood = VolatilityGaussianLikelihood(param=param)
         self.num_locs = num_locs
+        # ell_method forces the expected-log-likelihood estimator:
+        # "quadrature" restores the reference's GH-75 term exactly
+        # (train_utils.py:52) for strict trajectory parity; None keeps the
+        # likelihood's default (exact closed form for param="exp").
+        if ell_method not in (None, "quadrature", "analytic"):
+            raise ValueError("ell_method must be None, 'quadrature' or "
+                             "'analytic'")
+        self.ell_method = ell_method
 
     def init(self, train_x, y, key=None, dtype=jnp.float32):
         """Laplace-style init (reference ``train_utils.py:31``).
@@ -237,7 +246,8 @@ class GPCVModel(ConfigEq):
 
         def ell(yy, mean, var):
             return self.likelihood.expected_log_prob(
-                params["likelihood"], yy, mean, var, num_locs=self.num_locs
+                params["likelihood"], yy, mean, var, num_locs=self.num_locs,
+                method=self.ell_method,
             )
 
         if self.q == "tridiag":
@@ -344,7 +354,8 @@ class GPCVModel(ConfigEq):
                                         chol_kuu=chol_kuu)
         var = jnp.maximum(var, 1e-8)
         ell = self.likelihood.expected_log_prob(
-            params["likelihood"], y, mean, var, num_locs=self.num_locs
+            params["likelihood"], y, mean, var, num_locs=self.num_locs,
+            method=self.ell_method,
         )
         n = y.shape[-1]
         if isinstance(self.kernel, BMKernel):
