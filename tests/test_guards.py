@@ -134,3 +134,90 @@ class TestSampleVolPathsContract:
         ref = jnp.exp(vol_state.sample_forecast(jax.random.key(0), test_x,
                                                 (7,)))
         np.testing.assert_allclose(np.asarray(paths), np.asarray(ref))
+
+    def test_jitted_overlapping_grid_nan_poisons(self, std_fitted):
+        """USER-jitted call with a contract-violating grid: the host-side
+        probe cannot run on tracers, so the fast path is taken — but its
+        runtime guard (``ops.brownian.future_grid_ok``) must NaN-poison
+        the whole output (loud failure) instead of sampling a silently
+        wrong distribution (the round-3 verdict's tracer hole)."""
+        from volt_tpu.rollouts import sample_vol_paths
+
+        train_x, _, test_x, _, vol_state, _ = std_fitted
+
+        f = jax.jit(
+            lambda tx: sample_vol_paths(jax.random.key(0), vol_state, tx, 5)
+        )
+        mid = jnp.asarray(np.linspace(float(train_x[3]),
+                                      float(train_x[-1]), 4), jnp.float32)
+        assert bool(jnp.all(jnp.isnan(f(mid))))
+        # non-monotonic but future-starting grid: also poisoned in full
+        dt = float(train_x[1] - train_x[0])
+        nonmono = train_x[-1] + dt * jnp.asarray([1.0, 3.0, 2.0, 4.0],
+                                                 jnp.float32)
+        assert bool(jnp.all(jnp.isnan(f(nonmono))))
+        # the same jitted program on a valid grid stays finite and equals
+        # the eager fast path
+        out = f(test_x[:4])
+        ref = sample_vol_paths(jax.random.key(0), vol_state, test_x[:4], 5)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        # jit-vs-eager float noise only (measured ~1e-7 rel)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_jitted_assume_future_false_takes_dense(self, std_fitted):
+        """``assume_future=False`` forces the dense posterior sampler even
+        under tracing — the jit-safe route for overlapping queries."""
+        from volt_tpu.rollouts import sample_vol_paths
+
+        train_x, _, _, _, vol_state, _ = std_fitted
+        mid = jnp.asarray(np.linspace(float(train_x[3]),
+                                      float(train_x[-1]), 4), jnp.float32)
+        f = jax.jit(
+            lambda tx: sample_vol_paths(jax.random.key(0), vol_state, tx, 5,
+                                        assume_future=False)
+        )
+        out = f(mid)
+        assert bool(jnp.all(jnp.isfinite(out))) and bool(jnp.all(out > 0))
+        # identical draw to the eager call (which host-detects the
+        # violation and falls back to the same dense sampler)
+        ref = sample_vol_paths(jax.random.key(0), vol_state, mid, 5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_jitted_posterior_forecast_guard(self, std_fitted):
+        """The closed-form quantile-path surface (``posterior_forecast``)
+        carries the same runtime guard."""
+        train_x, _, test_x, _, vol_state, _ = std_fitted
+
+        f = jax.jit(lambda tx: vol_state.module.posterior_forecast(
+            vol_state.params, vol_state.train_x, vol_state.train_y, tx))
+        mid = jnp.asarray(np.linspace(float(train_x[3]),
+                                      float(train_x[-1]), 4), jnp.float32)
+        mean, cov = f(mid)
+        assert bool(jnp.all(jnp.isnan(mean)))
+        assert bool(jnp.all(jnp.isnan(cov)))
+        mean_ok, cov_ok = f(test_x[:4])
+        assert bool(jnp.all(jnp.isfinite(mean_ok)))
+        assert bool(jnp.all(jnp.isfinite(cov_ok)))
+
+    def test_jitted_multitask_matheron_guard(self):
+        """The multitask Matheron sampler's rank-one cross block assumes
+        ``min(x_n, x*_m) = x_n``; on an overlapping grid it used to
+        return FINITE but wrong samples under jit (the one genuinely
+        silent case) — now all-NaN via the shared guard."""
+        from volt_tpu.models.multitask import MultitaskBMGP
+
+        n, num_tasks = 24, 3
+        dt = 1.0 / 252
+        train_x = (jnp.arange(n, dtype=jnp.float32) + 1) * dt
+        mt = MultitaskBMGP(num_tasks=num_tasks)
+        state = mt.fit_state(mt.init(),
+                             train_x, jnp.log(jnp.full((n, num_tasks), 0.2)))
+
+        f = jax.jit(lambda tx: state.sample_forecast(jax.random.key(0), tx,
+                                                     (4,)))
+        overlap = train_x[10:14]
+        assert bool(jnp.all(jnp.isnan(f(overlap))))
+        fut = train_x[-1] + dt * (jnp.arange(4, dtype=jnp.float32) + 1)
+        assert bool(jnp.all(jnp.isfinite(f(fut))))

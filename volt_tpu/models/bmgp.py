@@ -234,7 +234,13 @@ class BMGP(ConfigEq):
         O(n + H^2) instead of O(n^3): the pipeline's vol-path sampling
         was the last super-linear memory/compute object at large n
         (an n x n covariance + Cholesky per asset).
+
+        Valid ONLY for strictly-future increasing ``test_x``; violating
+        grids return all-NaN (``ops.brownian.future_grid_ok``) rather
+        than a wrong posterior.
         """
+        from ..ops.brownian import future_grid_ok, nan_poison
+
         self._require_bm("posterior_forecast")
         mu, p = self.forecast_state(params, train_x, train_y)
         vol = self.kernel.vol(params["kernel"])[..., 0]
@@ -242,7 +248,9 @@ class BMGP(ConfigEq):
         gap = jnp.minimum(test_x[..., :, None], test_x[..., None, :]) \
             - train_x[..., -1:, None]
         cov = p[..., None, None] + vol[..., None, None] * gap
-        return mean, cov
+        ok = future_grid_ok(test_x, train_x)
+        return (nan_poison(mean, ok[..., None]),
+                nan_poison(cov, ok[..., None, None]))
 
     def sample_forecast(self, key, params, train_x, train_y, test_x,
                         sample_shape=()):
@@ -251,7 +259,13 @@ class BMGP(ConfigEq):
         Draws the filtered last-point state, then independent Brownian
         increments (cumsum) — no covariance materialization at all, so
         forecasting works unchanged at n in the tens of thousands.
+
+        Valid ONLY for strictly-future increasing ``test_x``; violating
+        grids return all-NaN (``ops.brownian.future_grid_ok``) rather
+        than a wrong distribution.
         """
+        from ..ops.brownian import future_grid_ok, nan_poison
+
         self._require_bm("sample_forecast")
         mu, p = self.forecast_state(params, train_x, train_y)
         vol = self.kernel.vol(params["kernel"])[..., 0]
@@ -265,7 +279,8 @@ class BMGP(ConfigEq):
         r0 = mu + jnp.sqrt(p) * jax.random.normal(k0, shape, train_y.dtype)
         z = jax.random.normal(k1, (*shape, h), train_y.dtype)
         r = r0[..., None] + jnp.cumsum(jnp.sqrt(incs) * z, axis=-1)
-        return r + self.mean(params, test_x)
+        ok = future_grid_ok(test_x, train_x)
+        return nan_poison(r + self.mean(params, test_x), ok[..., None])
 
     def posterior(self, params, train_x, train_y, test_x):
         """Latent posterior ``p(f* | y)`` (noisy conditioning on train)."""

@@ -251,7 +251,17 @@ class MultitaskBMGP(ConfigEq):
         corr = vol * jnp.einsum("...t,...ta->...a", xa, k_task,
                                 precision=_HIGHEST)  # (..., T)
 
-        return mean_test + w_paths[..., n:, :] + corr[..., None, :]
+        # strictly-future contract guard: the rank-one cross block above
+        # assumed min(x_n, x*_m) = x_n, which is simply false on an
+        # overlapping/interpolating grid — the result would be finite but
+        # wrong.  NaN-poison instead (ops.brownian.future_grid_ok).
+        from ..ops.brownian import future_grid_ok, nan_poison
+
+        ok = future_grid_ok(test_x, train_x)
+        return nan_poison(
+            mean_test + w_paths[..., n:, :] + corr[..., None, :],
+            ok[..., None, None],
+        )
 
     def fit_state(self, params, train_x, train_y) -> MultitaskBMGPState:
         return MultitaskBMGPState(module=self, params=params, train_x=train_x,

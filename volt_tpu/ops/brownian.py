@@ -34,9 +34,50 @@ __all__ = [
     "bm_solve_upper",
     "bm_logdet",
     "bm_kl_against_prior",
+    "future_grid_ok",
     "min_kernel_spectrum",
     "spectral_n_ok",
 ]
+
+
+def future_grid_ok(test_x, train_x):
+    """Traced check of the Markov forecast contract: ``test_x`` strictly
+    increasing and strictly after the last train point.
+
+    The filtered-state closed forms (``BMGP.sample_forecast`` /
+    ``posterior_forecast``, the multitask Matheron sampler) are exact
+    ONLY on such grids.  This is the jit-safe runtime complement of the
+    host-side probe in :mod:`volt_tpu.rollouts`: the fast samplers
+    ``jnp.where`` their outputs against it, so a contract-violating grid
+    inside a user's ``jit`` produces all-NaN output (a loud failure)
+    instead of a silently wrong distribution.  Returns a boolean with the
+    broadcast batch shape of the grids.
+    """
+    test_x = jnp.asarray(test_x)
+    train_x = jnp.asarray(train_x)
+    inc_ok = (
+        jnp.all(jnp.diff(test_x, axis=-1) > 0, axis=-1)
+        if test_x.shape[-1] > 1
+        else jnp.ones(test_x.shape[:-1], bool)
+    )
+    return inc_ok & (test_x[..., 0] > train_x[..., -1])
+
+
+def nan_poison(x, ok):
+    """``x`` where ``ok`` else NaN — as *arithmetic*, not a select.
+
+    ``x * (ok / ok)`` multiplies by exactly 1.0 when ``ok`` (bit-exact for
+    every value of ``x``) and by ``0/0 = NaN`` otherwise.  A plain
+    ``jnp.where(ok, x, nan)`` is NOT reliable here: XLA:CPU commutes unary
+    transcendentals with selects and mis-folds the constant-NaN branch
+    (observed: ``jit(exp(where(pred, x, nan)))`` with a traced false
+    predicate returning denormal garbage instead of NaN), whereas a NaN
+    produced by runtime arithmetic propagates through every downstream op.
+    ``ok`` broadcasts against ``x`` from the left as usual — pass it
+    pre-expanded (e.g. ``ok[..., None]``).
+    """
+    okf = jnp.asarray(ok).astype(jnp.result_type(x))
+    return x * (okf / okf)
 
 def spectral_n_ok(n: int) -> bool:
     """Whether :func:`min_kernel_spectrum` is exact at this ``n``.

@@ -52,7 +52,8 @@ __all__ = [
 ]
 
 
-def sample_vol_paths(key, vol_state, test_x, nsample: int):
+def sample_vol_paths(key, vol_state, test_x, nsample: int,
+                     assume_future: bool | None = None):
     """``nsample`` joint vol forecasts: ``exp`` of posterior samples of the
     log-vol GP at ``test_x`` (reference ``rollout_utils.py:66``).
 
@@ -62,19 +63,28 @@ def sample_vol_paths(key, vol_state, test_x, nsample: int):
     the n x n joint posterior — same distribution (pinned in tests),
     and the vol stage stays O(n) at n in the tens of thousands.
 
-    The closed form assumes ``test_x`` is increasing and strictly after
-    the train grid.  When the grids are concrete that contract is
-    checked host-side, and a query that overlaps or interpolates the
-    train grid falls back to the dense posterior sampler (which handles
-    any query grid) instead of producing silent NaNs from negative
-    increments.  Under tracing (inside ``jit``) the fast path is used
-    unconditionally — every jitted caller in the package forecasts
-    strictly-future grids.
+    ``assume_future`` controls the dispatch:
+
+    * ``None`` (default) — when the grids are concrete, the contract
+      (``test_x`` increasing, strictly after the train grid) is checked
+      host-side and a violating query falls back to the dense posterior
+      sampler, which handles any grid.  Under tracing (inside a user's
+      ``jit``) the fast path is taken, but it is *runtime-guarded*: the
+      closed forms ``jnp.where`` their outputs against
+      :func:`volt_tpu.ops.brownian.future_grid_ok`, so a violating
+      traced grid returns all-NaN (a loud failure) instead of a silently
+      wrong distribution.
+    * ``False`` — force the dense sampler (jit-safe for any grid; use
+      this to jit over overlapping/interpolating queries).
+    * ``True`` — assert the contract and take the fast path without the
+      host-side probe (the runtime guard still applies).
     """
     from .kernels import BMKernel
 
     fast = (isinstance(getattr(vol_state.module, "kernel", None), BMKernel)
-            and _strictly_future(test_x, vol_state.train_x))
+            and assume_future is not False
+            and (assume_future is True
+                 or _strictly_future(test_x, vol_state.train_x)))
     if fast:
         log_paths = vol_state.sample_forecast(key, test_x, (nsample,))
     else:
@@ -85,9 +95,10 @@ def sample_vol_paths(key, vol_state, test_x, nsample: int):
 def _strictly_future(test_x, train_x) -> bool:
     """Host-side probe of the forecast-sampler contract: ``test_x``
     increasing and strictly after the train grid.  Under tracing (either
-    array abstract) the answer is True — every jitted caller in the
-    package forecasts strictly-future grids, and the fast samplers'
-    contract is documented at their signatures."""
+    array abstract) the answer is True — the fast samplers then rely on
+    their built-in runtime guard (``ops.brownian.future_grid_ok``), which
+    NaN-poisons outputs for violating grids; callers that legitimately
+    jit over non-future grids pass ``assume_future=False`` instead."""
     try:
         import numpy as np
 
@@ -97,7 +108,7 @@ def _strictly_future(test_x, train_x) -> bool:
                     and np.all(tx[..., 0] > tr_last))
     except (jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError):
-        return True  # tracers: trust the rollout contract
+        return True  # tracers: the runtime guard takes over
     # anything else (empty grids, ragged inputs) is a real caller error —
     # let it propagate instead of silently selecting the fast sampler
 
@@ -183,9 +194,10 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
 
 
 def _rollout_volt(key, model: VoltState, latent_mean, test_x, nsample,
-                  use_theta, theta):
+                  use_theta, theta, assume_future=None):
     k_vol, k_z = jax.random.split(key)
-    pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample)
+    pred_vol = sample_vol_paths(k_vol, model.vol_state, test_x, nsample,
+                                assume_future=assume_future)
     zs = jax.random.normal(
         k_z, (nsample, test_x.shape[-1]), model.train_y.dtype
     )
@@ -194,14 +206,18 @@ def _rollout_volt(key, model: VoltState, latent_mean, test_x, nsample,
 
 
 def rollouts(key, model: VoltState, train_x, train_y, test_x,
-             nsample: int = 50, method: str = "volt", theta=None):
+             nsample: int = 50, method: str = "volt", theta=None,
+             assume_future: bool | None = None):
     """Autoregressive MC forecast (reference ``Rollouts``,
     ``rollout_utils.py:57-93``).
 
     ``train_y`` is the *full* price series (one longer than the model grid,
     exactly like the reference call sites); it is used only for the
     mean-reversion latent mean ``mean(log(train_y))``.  Returns log-price
-    samples ``(nsample, H)``.
+    samples ``(nsample, H)``.  ``assume_future`` follows
+    :func:`sample_vol_paths` (the rollout itself also requires a
+    strictly-future increasing horizon — it evolves forward from the last
+    train point).
     """
     del train_x  # the model state carries its grid; kept for API parity
     if method != "volt":
@@ -216,7 +232,8 @@ def rollouts(key, model: VoltState, train_x, train_y, test_x,
     )
     return _rollout_volt(key, model, latent_mean, jnp.asarray(test_x),
                          int(nsample), use_theta,
-                         jnp.asarray(theta if use_theta else 0.0, dtype))
+                         jnp.asarray(theta if use_theta else 0.0, dtype),
+                         assume_future=assume_future)
 
 
 # ---------------------------------------------------------------------------
@@ -595,7 +612,8 @@ def nonvol_rollouts_dense(key, model, test_x, nsample: int = 50, zs=None):
 
 
 def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
-                       test_x, nsample: int = 50, theta=None):
+                       test_x, nsample: int = 50, theta=None,
+                       assume_future: bool | None = None):
     """Autoregressive rollouts for T correlated assets.
 
     ``volt_state`` carries leading task dims (from
@@ -607,7 +625,8 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
 
     ``train_ys`` is used only for the mean-reversion latent mean (when
     ``theta`` is set) and should be the *full* ``(T, n+1)`` price series,
-    like :func:`rollouts`' ``train_y``.
+    like :func:`rollouts`' ``train_y``.  ``assume_future`` follows
+    :func:`sample_vol_paths`.
     """
     from .kernels import BMKernel
 
@@ -619,9 +638,13 @@ def rollouts_multitask(key, volt_state: VoltState, mt_vol_state, train_ys,
     # (S, H, T) correlated log-vol draws -> (T, S, H) vol paths.  Same
     # fast-path contract as sample_vol_paths: strictly-future grids take
     # the Matheron sampler (no (H*T)^2 covariance — mandatory at the
-    # 505-ticker scale); anything else falls back to the dense posterior.
+    # 505-ticker scale); anything else falls back to the dense posterior,
+    # and a violating grid under tracing NaN-poisons through the
+    # sampler's runtime guard (ops.brownian.future_grid_ok).
     fast = (isinstance(mt_vol_state.module.data_kernel, BMKernel)
-            and _strictly_future(test_x, mt_vol_state.train_x))
+            and assume_future is not False
+            and (assume_future is True
+                 or _strictly_future(test_x, mt_vol_state.train_x)))
     if fast:
         log_vols = mt_vol_state.sample_forecast(k_vol, test_x, (nsample,))
     else:
