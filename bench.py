@@ -108,14 +108,47 @@ def main():
     north_star = 500.0 / 60.0 / 8.0  # assets/sec/chip
     delivery = "" if output == "samples" else f", {output} delivery"
     note = os.environ.get("BENCH_NOTE", "")
-    print(json.dumps({
+    record = {
         "metric": "volt_fit_plus_1000path_rollout_throughput",
         "value": round(assets_per_sec, 4),
         "unit": (f"assets/sec/chip (ntrain={ntrain}, 3x{iters} iters, "
                  f"{cfg.nsample}x{horizon} MC{delivery})"
                  + (f" [{note}]" if note else "")),
         "vs_baseline": round(assets_per_sec / north_star, 4),
-    }))
+    }
+
+    # Companion raw-path-delivery measurement so the driver's bench series
+    # stays apples-to-apples across rounds (r02 recorded samples mode,
+    # r03+ records quantiles mode): same fits + MC workload, but the full
+    # (B, nsample, H) tensor crosses the tunnel like the reference's
+    # torch.save outputs.  One warm + one timed run; skipped in CPU
+    # fallback (BENCH_NOTE set) where the extra run just burns deadline.
+    if (output == "quantiles" and not note
+            and os.environ.get("BENCH_BOTH", "1") != "0"):
+        import dataclasses
+
+        cfg_s = dataclasses.replace(cfg, output="samples")
+
+        def run_samples(key):
+            keys = jax.random.split(key, streams)
+            pending = [
+                fit_forecast_batch(k, train_x, ys, test_x, cfg_s)[0]
+                for k, ys in zip(keys, ys_chunks)
+            ]
+            return np.concatenate([jax.device_get(s) for s in pending],
+                                  axis=0)
+
+        run_samples(jax.random.key(0))  # warm/compile
+        t0 = time.perf_counter()
+        out_s = run_samples(jax.random.key(1))
+        elapsed_s = time.perf_counter() - t0
+        assert np.isfinite(out_s).all(), "non-finite forecasts (samples)"
+        record["value_samples"] = round(n_assets / elapsed_s, 4)
+        record["unit_samples"] = (
+            f"assets/sec/chip (same workload, raw-path delivery: "
+            f"{cfg.nsample}x{horizon} samples fetched)"
+        )
+    print(json.dumps(record))
 
 
 def _extract_json_line(text: str):
