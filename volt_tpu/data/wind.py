@@ -14,7 +14,8 @@ import pickle
 
 import numpy as np
 
-__all__ = ["parse_uscrn_rows", "build_wind_dataset", "USCRN_BASE_URL"]
+__all__ = ["parse_uscrn_rows", "build_wind_dataset",
+           "build_wind_dataset_from_files", "USCRN_BASE_URL"]
 
 USCRN_BASE_URL = (
     "https://www.ncei.noaa.gov/pub/data/uscrn/products/subhourly01/2021/"
@@ -27,16 +28,61 @@ _WIND_COL = 21
 _LON_COL, _LAT_COL = 6, 7
 
 
-def parse_uscrn_rows(lines):
+def parse_uscrn_rows(lines, expected_rows: int | None = None):
     """Parse one station's raw text rows -> ``(lonlat, wind)`` or ``None``
-    if the record is incomplete (the notebook's completeness filter)."""
+    if the record is incomplete (the notebook's completeness filter).
+
+    ``expected_rows`` defaults to the full-year sub-hourly count (105120);
+    the vendored offline fixtures pass their truncated length so the same
+    filter logic runs without a 10 MB file in the tree."""
+    if expected_rows is None:
+        expected_rows = _EXPECTED_ROWS
     rows = [line.split() for line in lines if line.strip()]
-    if len(rows) != _EXPECTED_ROWS:
+    if len(rows) != expected_rows:
         return None
     lonlat = (float(rows[0][_LON_COL]), float(rows[0][_LAT_COL]))
     wind = np.array([float(r[_WIND_COL]) for r in rows], np.float32)
     wind[wind == -99.0] = 0.0
     return lonlat, wind
+
+
+def _assemble(station_texts, year: int, expected_rows: int | None):
+    """``[(fname, text), ...]`` -> ``(names, lonlat, data)`` with the
+    notebook's completeness filter and name slice applied."""
+    names, lonlats, data = {}, [], []
+    for fname, txt in station_texts:
+        parsed = parse_uscrn_rows(txt.splitlines(), expected_rows)
+        if parsed is None:
+            continue
+        lonlat, wind = parsed
+        # notebook name slice url[17:-4]: strips "CRNS0101-05-YYYY-",
+        # yielding e.g. "AK_Cordova_14_ESE" (year prefix removed too)
+        names[len(data)] = fname.replace(
+            f"CRNS0101-05-{year}-", ""
+        ).replace(".txt", "")
+        lonlats.append(lonlat)
+        data.append(wind)
+    return names, np.array(lonlats), data
+
+
+def build_wind_dataset_from_files(files, out_path: str | None = None,
+                                  year: int = 2021,
+                                  expected_rows: int | None = None):
+    """Offline twin of :func:`build_wind_dataset`: same completeness
+    filter, sentinel mapping, name slice, and pickle layout, over local
+    USCRN station files (e.g. the vendored ``data/fixtures`` sample) —
+    the ingestion path is executable with zero network access."""
+    import os
+
+    texts = []
+    for path in files:
+        with open(path) as fh:
+            texts.append((os.path.basename(path), fh.read()))
+    names, lonlat, data = _assemble(texts, year, expected_rows)
+    if out_path is not None:
+        with open(out_path, "wb") as fh:
+            pickle.dump((names, lonlat, data), fh)
+    return names, lonlat, data
 
 
 def build_wind_dataset(out_path: str = "wind_data.p", year: int = 2021,
@@ -59,21 +105,11 @@ def build_wind_dataset(out_path: str = "wind_data.p", year: int = 2021,
     if limit is not None:  # limit=0 means "scrape nothing", not "all"
         files = files[:limit]
 
-    names, lonlats, data = {}, [], []
-    for i, fname in enumerate(files):
-        txt = requests.get(base + fname, timeout=120).text
-        parsed = parse_uscrn_rows(txt.splitlines())
-        if parsed is None:
-            continue
-        lonlat, wind = parsed
-        # notebook name slice url[17:-4]: strips "CRNS0101-05-YYYY-",
-        # yielding e.g. "AK_Cordova_14_ESE" (year prefix removed too)
-        names[len(data)] = fname.replace(
-            f"CRNS0101-05-{year}-", ""
-        ).replace(".txt", "")
-        lonlats.append(lonlat)
-        data.append(wind)
-
+    station_texts = (
+        (fname, requests.get(base + fname, timeout=120).text)
+        for fname in files
+    )
+    names, lonlat, data = _assemble(station_texts, year, None)
     with open(out_path, "wb") as fh:
-        pickle.dump((names, np.array(lonlats), data), fh)
-    return names, np.array(lonlats), data
+        pickle.dump((names, lonlat, data), fh)
+    return names, lonlat, data
