@@ -45,6 +45,11 @@ class TestHarnessSmoke:
         assert rec["metric"] == "volt_fit_plus_1000path_rollout_throughput"
         assert rec["value"] > 0 and rec["vs_baseline"] > 0
         assert "quantiles" in rec["unit"]
+        # the companion raw-path-delivery measurement keeps the driver's
+        # bench series apples-to-apples across rounds (r02 recorded
+        # samples mode, r03+ quantiles mode)
+        assert rec["value_samples"] > 0
+        assert "raw-path delivery" in rec["unit_samples"]
 
     def test_scaling_study_rows(self):
         out = _run(["tools/scaling_study.py"], env_extra={
@@ -103,6 +108,25 @@ class TestHarnessSmoke:
                     "--nsample", "8"])
         rec = json.loads(out.strip().splitlines()[-1])
         assert rec["total"] == 2 and rec["ok_rate"] == 1.0
+
+    def test_sparse_quality(self):
+        out = _run(["tools/sparse_quality.py", "--n", "96", "--ms", "24",
+                    "--iters", "3", "--spot-n", "128"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert np.isfinite(rec["dense"]["rel_err"])
+        assert np.isfinite(rec["sparse"]["24"]["rel_err"])
+        assert rec["spot"]["n"] == 128
+
+    def test_wind_sweep(self):
+        out = _run(["tools/wind_sweep.py", "--windows", "2", "--ntrain",
+                    "64", "--horizon", "6", "--nsample", "16", "--iters",
+                    "3", "--ks", "20", "--thetas", "0.05,none"])
+        recs = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        assert [(r["k"], r["theta"]) for r in recs] == [(20, 0.05),
+                                                        (20, None)]
+        assert all(np.isfinite(r["crps"]) for r in recs)
+        assert "| 20 | 0.05 |" in out
 
     def test_eval_compare(self, tmp_path):
         out_md = tmp_path / "eval.md"
