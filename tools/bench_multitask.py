@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--horizon", type=int, default=100)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--stages", type=str, default="vol,gpcv,rollout")
+    ap.add_argument("--gpcv-q", type=str, default="full",
+                    help="comma list of variational families for the gpcv "
+                         "stage: full,tridiag")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
 
@@ -88,25 +91,26 @@ def main():
 
         if "gpcv" in stages:
             lik = VolatilityGaussianLikelihood(param="exp")
-            mvg = MultitaskVariationalGP(num_tasks=t, rank=1)
-            params = mvg.init(train_x)
-            params = mvg.initialize_variational_parameters(
-                params, lik, {}, train_x, yy
-            )
+            for fam in args.gpcv_q.split(","):
+                mvg = MultitaskVariationalGP(num_tasks=t, rank=1, q=fam)
+                params = mvg.init(train_x)
+                params = mvg.initialize_variational_parameters(
+                    params, lik, {}, train_x, yy
+                )
 
-            @jax.jit
-            def fit_gpcv(p):
-                return _adam_scan(
-                    lambda q: -mvg.elbo(q, train_x, yy, lik, {}),
-                    p, args.iters, 0.01,
-                )[1][-1]
+                @jax.jit
+                def fit_gpcv(p, mvg=mvg):
+                    return _adam_scan(
+                        lambda q: -mvg.elbo(q, train_x, yy, lik, {}),
+                        p, args.iters, 0.01,
+                    )[1][-1]
 
-            loss, el = timed(partial(fit_gpcv, params), args.repeats)
-            assert np.isfinite(loss), f"gpcv non-finite at T={t}"
-            print(json.dumps({
-                "stage": "mt_gpcv_fit", "T": t, "n": n,
-                "ms_per_iter": round(1e3 * el / args.iters, 3),
-            }), flush=True)
+                loss, el = timed(partial(fit_gpcv, params), args.repeats)
+                assert np.isfinite(loss), f"gpcv non-finite at T={t}"
+                print(json.dumps({
+                    "stage": "mt_gpcv_fit", "T": t, "n": n, "q": fam,
+                    "ms_per_iter": round(1e3 * el / args.iters, 3),
+                }), flush=True)
 
         if "rollout" in stages:
             mt = MultitaskBMGP(num_tasks=t, rank=1)

@@ -27,6 +27,7 @@ from ..ops.chol import cholesky_solve, psd_safe_cholesky, solve_lower_triangular
 __all__ = [
     "kron_mvn_log_prob",
     "kron_kl",
+    "kron_kl_bm_prior_tridiag",
     "kron_posterior",
 ]
 
@@ -320,6 +321,64 @@ def kron_kl_bm_prior(mean_q, root_x, root_t, mean_p, x, vol, k_task,
         + n * _tri_logdet(lt)
     )
     logdet_q = t * _tri_logdet(rx) + n * _tri_logdet(rt)
+    return 0.5 * (trace + quad - n * t + logdet_p - logdet_q)
+
+
+def kron_kl_bm_prior_tridiag(mean_q, q_d, q_e, root_t, mean_p, x, vol,
+                             k_task, jitter: float = 1e-6):
+    """:func:`kron_kl_bm_prior` with a *tridiagonal-precision* data factor.
+
+    ``q = N(vec(M), Sx (x) St)`` with ``Sx = (Lx Lx^T)^{-1}`` for lower-
+    bidiagonal ``Lx = (q_d, q_e)`` — the Kronecker extension of the
+    single-task TPU-native family (``ops/bidiag.py``): the BM prior's
+    precision is tridiagonal, so the per-factor optimal ``Sx`` of the
+    ELBO stationarity condition lives in this family, and it carries
+    O(n) parameters where the reference's explicit data root
+    (``multi_task_variational_gp.py:15-30``) carries O(n^2).  Every term
+    is an O(n) scan on the data side:
+
+    * ``tr(Kd^{-1} Sx)`` — Takahashi band marginals against the
+      tridiagonal ``min(x)^{-1}``,
+    * quadratic — increment differencing (diff-and-scale Cholesky),
+    * ``logdet Sx = -2 sum log q_d``.
+
+    Matches :func:`kron_kl` with the dense equivalents (pinned in
+    tests).  Same increment-domain jitter policy as
+    :func:`kron_kl_bm_prior`.
+    """
+    from ..ops.bidiag import min_precision, takahashi_band
+
+    n, t = mean_q.shape[-2], mean_q.shape[-1]
+    vol0 = vol[..., 0] if (hasattr(vol, "ndim") and vol.ndim) else vol
+    a_diag, a_off, dx = min_precision(x, jitter / vol0)
+    lt = psd_safe_cholesky(k_task)
+    rt = jnp.tril(root_t)
+
+    # trace: tr(Kd^{-1} Sx) tr(Kt^{-1} St), both factors banded/small
+    var, cov = takahashi_band(q_d, q_e)
+    tr_x = (
+        jnp.sum(a_diag * var, axis=-1) + 2.0 * jnp.sum(a_off * cov, axis=-1)
+    ) / vol0
+    at = solve_lower_triangular(lt, rt)
+    trace = tr_x * jnp.sum(at * at, axis=(-2, -1))
+
+    # quadratic: || Ld^{-1} (m_p - m_q) Lt^{-T} ||_F^2 / vol
+    diff = mean_p - mean_q
+    half = jnp.diff(diff, axis=-2, prepend=jnp.zeros_like(diff[..., :1, :]))
+    half = half / jnp.sqrt(dx)[..., :, None]
+    half = solve_lower_triangular(lt, jnp.swapaxes(half, -1, -2))
+    quad = jnp.sum(half * half, axis=(-2, -1)) / vol0
+
+    def _tri_logdet(tri):
+        return 2.0 * jnp.sum(jnp.log(jnp.abs(
+            jnp.diagonal(tri, axis1=-2, axis2=-1))), axis=-1)
+
+    logdet_p = (
+        t * (n * jnp.log(vol0) + jnp.sum(jnp.log(dx), axis=-1))
+        + n * _tri_logdet(lt)
+    )
+    logdet_q = t * (-2.0 * jnp.sum(jnp.log(q_d), axis=-1)) \
+        + n * _tri_logdet(rt)
     return 0.5 * (trace + quad - n * t + logdet_p - logdet_q)
 
 

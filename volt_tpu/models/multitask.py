@@ -273,12 +273,30 @@ class MultitaskVariationalGP(ConfigEq):
 
     Variational family ``q(vec(U)) = N(vec(M), Sx (x) St)`` with explicit
     lower-triangular roots; inducing points fixed at the train inputs.
+
+    ``q`` selects the data-factor family:
+
+    * ``"full"`` — explicit ``N x N`` lower-triangular root, the
+      reference's parameterization (``multi_task_variational_gp.py:15-30``).
+    * ``"tridiag"`` — tridiagonal-*precision* ``Sx`` (bidiagonal Cholesky
+      ``(q_d, q_e)``, O(n) parameters).  The BM data prior's precision is
+      tridiagonal, so the per-factor ELBO optimum lives in this family —
+      the same TPU-native replacement the single-task GPCV uses
+      (``models/gpcv.py``, ``ops/bidiag.py``); it removes the last O(n^2)
+      parameter object (and its Adam traffic) from the multitask path.
+      The ``T x T`` task root stays dense (tiny).  BM kernel only.
     """
 
-    def __init__(self, num_tasks: int, rank: int = 1, kernel: str = "bm"):
+    def __init__(self, num_tasks: int, rank: int = 1, kernel: str = "bm",
+                 q: str = "full"):
+        if q not in ("full", "tridiag"):
+            raise ValueError("q must be 'full' or 'tridiag'")
+        if q == "tridiag" and kernel != "bm":
+            raise ValueError("q='tridiag' requires the BM kernel")
         self.num_tasks = num_tasks
         self.data_kernel = BMKernel() if kernel == "bm" else FBMKernel()
         self.index_kernel = IndexKernel(num_tasks=num_tasks, rank=rank)
+        self.q = q
 
     def init(self, train_x, dtype=jnp.float32, key=None):
         if key is None:
@@ -286,14 +304,24 @@ class MultitaskVariationalGP(ConfigEq):
         k1, k2 = jax.random.split(key)
         n = train_x.shape[-1]
         t = self.num_tasks
-        return {
+        params = {
             "data_kernel": self.data_kernel.init(dtype),
             "index_kernel": self.index_kernel.init(dtype, key=k1),
             "mean_constants": jnp.zeros((t,), dtype),
             "variational_mean": 0.01 * jax.random.normal(k2, (n, t), dtype),
-            "variational_covar_root": jnp.eye(n, dtype=dtype),
             "variational_task_covar_root": jnp.eye(t, dtype=dtype),
         }
+        if self.q == "tridiag":
+            # identity precision: d = 1, e = 0
+            params["q_log_d"] = jnp.zeros((n,), dtype)
+            params["q_e"] = jnp.zeros((n - 1,), dtype)
+        else:
+            params["variational_covar_root"] = jnp.eye(n, dtype=dtype)
+        return params
+
+    def _q_chol(self, params):
+        """Bidiagonal precision-Cholesky ``(d, e)`` of the tridiag ``Sx``."""
+        return jnp.exp(params["q_log_d"]), params["q_e"]
 
     def initialize_variational_parameters(self, params, likelihood,
                                           lik_params, x, y):
@@ -322,6 +350,37 @@ class MultitaskVariationalGP(ConfigEq):
 
             inv_hess = exp_laplace_inv_hessian(y.T, f.T)  # (T, N)
         mean_inv_hess = jnp.mean(inv_hess, axis=0)  # task-averaged diagonal
+
+        if self.q == "tridiag":
+            # Laplace precision K^{-1}/vol + diag(curvature) — directly in
+            # the family, no root inflation (same measured precedent as
+            # the single-task init, models/gpcv.py:_init_tridiag).  The
+            # exp branch's dense 1e-4 clamp-after-diag_embed quirk (full
+            # family below) is not representable in a tridiagonal
+            # precision; its effect is an O(1e-4) init perturbation only.
+            from ..ops.bidiag import bidiag_chol_from_tridiag, min_precision
+
+            vol = self.data_kernel.vol(params["data_kernel"])[..., 0]
+            a_diag, a_off, _ = min_precision(x, 1e-6 / vol)
+            d, e = bidiag_chol_from_tridiag(a_diag / vol + mean_inv_hess,
+                                            a_off / vol)
+            mean_rs = jnp.mean(jnp.clip(rs, min=1e-4), axis=-1)  # (T,)
+            if getattr(likelihood, "param", "exp") == "cv":
+                log_means = likelihood.latent_from_scale(lik_params, mean_rs)
+            else:
+                log_means = jnp.log(mean_rs)
+            index = {
+                **params["index_kernel"],
+                "covar_factor": params["index_kernel"]["covar_factor"] / 10.0,
+            }
+            return {
+                **params,
+                "index_kernel": index,
+                "mean_constants": params["mean_constants"] + log_means,
+                "variational_mean": f,
+                "q_log_d": jnp.log(d),
+                "q_e": e,
+            }
 
         # init runs eagerly (no jit DCE): build the dense Gram only when
         # no structure-aware factor covers it.
@@ -395,6 +454,16 @@ class MultitaskVariationalGP(ConfigEq):
         per-step N x N factorization (``kron_kl_bm_prior``, matching
         ``kron_kl`` to float precision — pinned in tests)."""
         k_task = self.index_kernel.covar_matrix(params["index_kernel"])
+        if self.q == "tridiag":
+            from ..gp.kronecker import kron_kl_bm_prior_tridiag
+
+            d, e = self._q_chol(params)
+            return kron_kl_bm_prior_tridiag(
+                params["variational_mean"], d, e,
+                params["variational_task_covar_root"],
+                self.prior_mean(params, x), x,
+                self.data_kernel.vol(params["data_kernel"]), k_task,
+            )
         if isinstance(self.data_kernel, BMKernel):
             from ..gp.kronecker import kron_kl_bm_prior
 
@@ -420,10 +489,15 @@ class MultitaskVariationalGP(ConfigEq):
 
     def marginal_variances(self, params):
         """diag(Sx (x) St) at the inducing points: outer(diag Sx, diag St)."""
-        rx = jnp.tril(params["variational_covar_root"])
         rt = jnp.tril(params["variational_task_covar_root"])
-        dx = jnp.sum(rx * rx, axis=-1)
         dt = jnp.sum(rt * rt, axis=-1)
+        if self.q == "tridiag":
+            from ..ops.bidiag import takahashi_band
+
+            dx = takahashi_band(*self._q_chol(params))[0]
+        else:
+            rx = jnp.tril(params["variational_covar_root"])
+            dx = jnp.sum(rx * rx, axis=-1)
         return dx[..., :, None] * dt[..., None, :]
 
     def elbo(self, params, x, y, likelihood, lik_params, num_locs: int = 75):
@@ -463,9 +537,23 @@ class MultitaskVariationalGP(ConfigEq):
         data_onto = _mm(jnp.swapaxes(kux, -1, -2), kuu_inv_kux)
         first = kxx - data_onto  # (M, M)
 
-        rx = jnp.tril(params["variational_covar_root"])
         rt = jnp.tril(params["variational_task_covar_root"])
-        half = _mm(jnp.swapaxes(kuu_inv_kux, -1, -2), rx)  # (M, N)
+        if self.q == "tridiag":
+            # A^T Sx A with Sx = (Lx Lx^T)^{-1}: one bidiagonal solve per
+            # column — rows of half are (Lx^{-1} a_col)^T, O(n M).
+            from ..ops.bidiag import bidiag_solve_lower
+
+            d, e = self._q_chol(params)
+            bt = jnp.swapaxes(kuu_inv_kux, -1, -2)  # (M, N)
+            half = bidiag_solve_lower(
+                jnp.broadcast_to(d[..., None, :], bt.shape),
+                jnp.broadcast_to(e[..., None, :],
+                                 (*bt.shape[:-1], bt.shape[-1] - 1)),
+                bt,
+            )
+        else:
+            rx = jnp.tril(params["variational_covar_root"])
+            half = _mm(jnp.swapaxes(kuu_inv_kux, -1, -2), rx)  # (M, N)
         third = _mm(half, jnp.swapaxes(half, -1, -2))  # A Sx A^T
         st = _mm(rt, jnp.swapaxes(rt, -1, -2))
 

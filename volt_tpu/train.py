@@ -205,7 +205,7 @@ def learn_gpcv_sparse(train_x, train_y, num_inducing: int = 256,
 def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
                          rank: int = 1, lr: float = 0.01,
                          num_locs: int = 75, return_model: bool = False,
-                         key=None, param: str = "exp"):
+                         key=None, param: str = "exp", q: str = "full"):
     """Kronecker multitask GPCV: one variational vol model coupling T
     assets/stations (reference ``models/multi_task_variational_gp.py``,
     which ships without a training driver — provided here).
@@ -213,7 +213,10 @@ def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
     ``train_ys``: ``(T, n+1)`` prices.  Returns per-task predicted scales
     ``(T, n)``.  ``param`` selects the likelihood parameterization
     (``"cv"`` trains the K=5 mixture parameters jointly with the
-    variational state and uses its exact-Hessian Laplace init).
+    variational state and uses its exact-Hessian Laplace init).  ``q``
+    selects the data-factor variational family (``"tridiag"`` = O(n)
+    tridiagonal-precision parameters instead of the reference's N x N
+    root; see :class:`volt_tpu.models.multitask.MultitaskVariationalGP`).
     """
     from .likelihoods import VolatilityGaussianLikelihood
     from .models.multitask import MultitaskVariationalGP
@@ -225,7 +228,7 @@ def learn_gpcv_multitask(train_x, train_ys, train_iters: int = 1000,
 
     lik = VolatilityGaussianLikelihood(param=param)
     lik_params = lik.init(key=key if key is not None else jax.random.key(0))
-    module = MultitaskVariationalGP(num_tasks=num_tasks, rank=rank)
+    module = MultitaskVariationalGP(num_tasks=num_tasks, rank=rank, q=q)
     params = module.init(train_x, key=key)
     params = module.initialize_variational_parameters(params, lik,
                                                       lik_params,
