@@ -128,6 +128,17 @@ class TestHarnessSmoke:
         assert all(np.isfinite(r["crps"]) for r in recs)
         assert "| 20 | 0.05 |" in out
 
+    def test_mtwind_fan_example(self, tmp_path):
+        """The mtwind quantile-fan figure (the reference's
+        ``mtwind_plotting`` analog) renders end-to-end at toy shapes."""
+        out_png = tmp_path / "fan.png"
+        out = _run(["examples/mtwind_fan.py", "--cpu", "--stations", "2",
+                    "--ntrain", "64", "--horizon", "8", "--nsample", "16",
+                    "--gpcv-iters", "3", "--vol-iters", "3", "--k", "20",
+                    "--out", str(out_png)])
+        assert out_png.exists() and out_png.stat().st_size > 10_000
+        assert "empirical coverage" in out
+
     def test_eval_compare(self, tmp_path):
         out_md = tmp_path / "eval.md"
         out = _run(["tools/eval_compare.py", "--windows", "2", "--ntrain",
