@@ -39,6 +39,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    On this image the XLA:CPU backend segfaults *inside compilation*
+    (``backend_compile_and_load``) once a single long-lived process has
+    accumulated a few hundred compiled programs — deterministically at
+    the same test in a full-suite run, never in isolation or in any
+    half-suite bisect (2026-08-19: three full-run crashes, all compiling
+    ``learn_gpcv`` at ``test_pipeline.py``; 8 MB vs unlimited stack made
+    no difference, 128 GB RAM free).  Clearing the jit caches between
+    modules caps the accumulation; the cost is re-jitting shared helpers
+    per module (~1-2 min over the suite).
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def devices():
     devs = jax.devices()

@@ -67,7 +67,8 @@ def nan_poison(x, ok):
     """``x`` where ``ok`` else NaN — as *arithmetic*, not a select.
 
     ``x * (ok / ok)`` multiplies by exactly 1.0 when ``ok`` (bit-exact for
-    every value of ``x``) and by ``0/0 = NaN`` otherwise.  A plain
+    every normal/inf value of ``x``; backends with flush-to-zero multiply,
+    e.g. XLA:CPU, flush subnormals) and by ``0/0 = NaN`` otherwise.  A plain
     ``jnp.where(ok, x, nan)`` is NOT reliable here: XLA:CPU commutes unary
     transcendentals with selects and mis-folds the constant-NaN branch
     (observed: ``jit(exp(where(pred, x, nan)))`` with a traced false
