@@ -15,7 +15,10 @@ comparison) are known:
 * WIND — squared-OU mean-reverting speed surrogate (+1-shifted like the
   reference's USCRN preprocessing); the Volt lane uses the reference's
   wind config — EWMA(k=400) mean with theta=0.01 mean-reverting
-  rollouts (``GPGenerator.py:68-107``).
+  rollouts (``GPGenerator.py:68-107``);
+* WINDGUST — the same speed process with stochastic log-vol gust
+  episodes (``data.universes.gusty_wind_windows``): the heteroscedastic
+  end of the wind bracket, the regime the Volt paper targets.
 
 Per (universe, model) it reports, pooled over W independent forecast
 windows x H horizon steps, all in log-price space:
@@ -61,6 +64,7 @@ LEVELS = np.linspace(0.1, 0.9, 9)
 # examples/calibration_study.py): volt_tpu.data.universes
 from volt_tpu.data import (  # noqa: E402
     gbm_windows,
+    gusty_wind_windows,
     sabr_windows,
     wind_windows,
 )
@@ -146,6 +150,13 @@ def main(args):
                  dict(k=args.k, theta=None)),
         "WIND": (wind_windows(rng, args.windows, args.ntrain, args.horizon),
                  dict(k=min(400, args.ntrain - 1), theta=0.01)),
+        # the heteroscedastic end of the wind bracket (WIND is the
+        # stationary end): same mean reversion, stochastic log-vol gust
+        # episodes — the regime the Volt paper targets.  Same reference
+        # wind config.
+        "WINDGUST": (gusty_wind_windows(rng, args.windows, args.ntrain,
+                                        args.horizon),
+                     dict(k=min(400, args.ntrain - 1), theta=0.01)),
     }
     if args.universes:
         keep = set(args.universes.split(","))
@@ -233,6 +244,6 @@ if __name__ == "__main__":
                    help="comma-separated subset of "
                         "volt-ewma,matern-ewma,sm-ewma,lstm")
     p.add_argument("--universes", type=str, default="",
-                   help="comma-separated subset of GBM,SABR,WIND")
+                   help="comma-separated subset of GBM,SABR,WIND,WINDGUST")
     p.add_argument("--out", type=str, default="")
     main(p.parse_args())

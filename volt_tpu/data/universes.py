@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DT", "gbm_windows", "sabr_windows", "wind_windows"]
+__all__ = ["DT", "gbm_windows", "gusty_wind_windows", "sabr_windows",
+           "wind_windows"]
 
 DT = 1.0 / 252
 
@@ -45,4 +46,31 @@ def wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25):
     z = rng.standard_normal((w, n))
     for t in range(1, n):
         x[:, t] = (1.0 - rho) * x[:, t - 1] + sig * z[:, t]
+    return (1.0 + 2.0 * x * x).astype(np.float32)
+
+
+def gusty_wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25,
+                       rho_v=0.01, xi=0.085):
+    """Squared-OU wind surrogate with stochastic log-volatility *bursts*.
+
+    Same mean-reverting speed process as :func:`wind_windows`, but the
+    innovation scale is itself a slow log-OU process
+    (``sig_t = sig * exp(v_t)``, stationary ``std(v) ~ 0.6`` at the
+    defaults, i.e. calm/gusty episodes spanning a ~3x scale range with
+    ~``1/rho_v = 100``-step persistence).  Real subhourly surface wind is
+    intermittent in exactly this sense (gust fronts / convective
+    episodes), which is the regime the Volt paper targets — the plain
+    squared-OU surrogate is the *stationary* end of the bracket, this is
+    the *heteroscedastic* end; neither is USCRN data (no egress on this
+    image), together they bracket it.
+    """
+    n = ntrain + h
+    x = np.empty((w, n))
+    x[:, 0] = 0.5 * rng.standard_normal(w)
+    z = rng.standard_normal((w, n))
+    zv = rng.standard_normal((w, n))
+    v = np.zeros(w)
+    for t in range(1, n):
+        v = (1.0 - rho_v) * v + xi * zv[:, t]
+        x[:, t] = (1.0 - rho) * x[:, t - 1] + sig * np.exp(v) * z[:, t]
     return (1.0 + 2.0 * x * x).astype(np.float32)
