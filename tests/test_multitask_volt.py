@@ -161,3 +161,36 @@ class TestMultitaskGPCV:
         assert scales.shape == (3, 60)
         assert np.isfinite(np.asarray(scales)).all()
         assert (np.asarray(scales) > 0).all()
+
+
+class TestCorrvolUniverse:
+    def test_shared_gust_factor_is_vol_only(self):
+        """The multitask-evaluation universe's defining property
+        (tools/eval_multitask.py): cross-station structure lives in
+        volatility ONLY — smoothed squared log-returns are strongly
+        correlated across stations (one shared log-OU gust factor)
+        while the raw returns stay uncorrelated (independent price
+        innovations)."""
+        from volt_tpu.data import corrvol_windows
+
+        rng = np.random.default_rng(0)
+        p = corrvol_windows(rng, 4, 6, 600, 0)
+        assert p.shape == (4, 6, 600) and p.dtype == np.float32
+        r = np.diff(np.log(p), axis=-1)  # (W, T, n-1)
+
+        def mean_pairwise_corr(a):  # a (T, n)
+            c = np.corrcoef(a)
+            iu = np.triu_indices_from(c, k=1)
+            return float(c[iu].mean())
+
+        k = 51  # smooth z^2 noise out of the vol proxy
+        smooth = np.stack([
+            np.convolve(np.log(r[wi, ti] ** 2 + 1e-12), np.ones(k) / k,
+                        mode="valid")
+            for wi in range(4) for ti in range(6)
+        ]).reshape(4, 6, -1)
+        vol_corr = np.mean([mean_pairwise_corr(smooth[wi])
+                            for wi in range(4)])
+        ret_corr = np.mean([mean_pairwise_corr(r[wi]) for wi in range(4)])
+        assert vol_corr > 0.4, vol_corr
+        assert abs(ret_corr) < 0.15, ret_corr

@@ -128,6 +128,19 @@ class TestHarnessSmoke:
         assert all(np.isfinite(r["crps"]) for r in recs)
         assert "| 20 | 0.05 |" in out
 
+    def test_eval_multitask(self):
+        out = _run(["tools/eval_multitask.py", "--windows", "2", "--tasks",
+                    "2", "--ntrain", "64", "--horizon", "6", "--nsample",
+                    "16", "--iters", "3"])
+        recs = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        lanes = {r["lane"]: r for r in recs if "lane" in r}
+        assert set(lanes) == {"independent", "multitask"}
+        for r in lanes.values():
+            assert np.isfinite(r["marginal"]["crps"])
+            assert np.isfinite(r["gust_energy"]["ens_std_x1e4"])
+        assert any("verdict" in r for r in recs)
+
     def test_mtwind_fan_example(self, tmp_path):
         """The mtwind quantile-fan figure (the reference's
         ``mtwind_plotting`` analog) renders end-to-end at toy shapes."""

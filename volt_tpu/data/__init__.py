@@ -4,11 +4,12 @@ import os as _os
 
 from .synthetic import sabr_paths
 from .tickers import make_ticker_list, ticker_file_path
-from .universes import (gbm_windows, gusty_wind_windows,
+from .universes import (corrvol_windows, gbm_windows, gusty_wind_windows,
                         sabr_windows, wind_windows)
 
 __all__ = ["sabr_paths", "make_ticker_list", "ticker_file_path",
-           "gbm_windows", "gusty_wind_windows", "sabr_windows",
+           "corrvol_windows", "gbm_windows", "gusty_wind_windows",
+           "sabr_windows",
            "wind_windows", "fixtures_dir"]
 
 

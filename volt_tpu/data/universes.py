@@ -13,8 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DT", "gbm_windows", "gusty_wind_windows", "sabr_windows",
-           "wind_windows"]
+__all__ = ["DT", "corrvol_windows", "gbm_windows", "gusty_wind_windows",
+           "sabr_windows", "wind_windows"]
 
 DT = 1.0 / 252
 
@@ -47,6 +47,40 @@ def wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25):
     for t in range(1, n):
         x[:, t] = (1.0 - rho) * x[:, t - 1] + sig * z[:, t]
     return (1.0 + 2.0 * x * x).astype(np.float32)
+
+
+def corrvol_windows(rng, w, tasks, ntrain, h, base_vol=0.25, rho_v=0.01,
+                    xi=0.10, idio=0.35, s0=50.0):
+    """Multi-asset stochastic-vol GBM with a *shared* log-vol gust factor.
+
+    Station ``i`` in window ``b`` follows a zero-drift log-price walk
+    whose innovation scale is ``base_vol * exp(v_t + u_{i,t})``: ``v_t``
+    is one slow log-OU factor common to every station in the window
+    (persistence ``~1/rho_v = 100`` steps, stationary std ``~0.7`` at
+    the defaults — calm/gusty market-wide episodes spanning a ~4x scale
+    range) and ``u_{i,t}`` an idiosyncratic log-OU scaled by ``idio``.
+    Price innovations themselves stay independent across stations, so
+    the *only* cross-station structure is in volatility — exactly the
+    coupling the reference's Kronecker multitask vol GP
+    (``BMGP.py:30-56``, the mtwind experiment) is built to capture, and
+    the cleanest universe for measuring what that coupling buys over
+    independent per-station fits.
+
+    Returns ``(w, tasks, ntrain + h)`` float32 prices.
+    """
+    n = ntrain + h
+    z = rng.standard_normal((w, tasks, n - 1))
+    zv = rng.standard_normal((w, n - 1))
+    zu = rng.standard_normal((w, tasks, n - 1))
+    logp = np.zeros((w, tasks, n))
+    v = np.zeros(w)
+    u = np.zeros((w, tasks))
+    for t in range(1, n):
+        v = (1.0 - rho_v) * v + xi * zv[:, t - 1]
+        u = (1.0 - rho_v) * u + idio * xi * zu[:, :, t - 1]
+        scale = base_vol * np.exp(v[:, None] + u)
+        logp[:, :, t] = logp[:, :, t - 1] + scale * np.sqrt(DT) * z[:, :, t - 1]
+    return (s0 * np.exp(logp)).astype(np.float32)
 
 
 def gusty_wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25,
