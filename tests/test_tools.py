@@ -165,6 +165,24 @@ class TestHarnessSmoke:
         assert all(np.isfinite(r["crps"]) for r in recs)
         assert "| volt-ewma |" in out_md.read_text()
 
+    def test_eval_options(self):
+        """The option-valuation harness: oracle-mc lane must sit at the
+        MC noise floor (unbiased, small bps error) and a fitted lane must
+        produce finite prices through the production pricer surface."""
+        out = _run(["tools/eval_options.py", "--windows", "2", "--ntrain",
+                    "64", "--horizon", "8", "--nsample", "512", "--iters",
+                    "5", "--expiries", "3,7", "--k", "20",
+                    "--lanes", "oracle-mc,volt-ewma"])
+        recs = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        lanes = {r["lane"]: r for r in recs}
+        assert set(lanes) == {"oracle-mc", "volt-ewma"}
+        for r in lanes.values():
+            assert np.isfinite(r["mae_bps"]) and np.isfinite(r["bias_bps"])
+        # true-law MC at S=512: |bias| well under the pooled MAE, both tiny
+        assert abs(lanes["oracle-mc"]["bias_bps"]) < 20
+        assert lanes["oracle-mc"]["mae_bps"] < 50
+
     def test_bench_supervisor_cpu_fallback(self):
         # No JAX_PLATFORMS in the env: bench.py takes the supervisor
         # path; BENCH_FORCE_FALLBACK skips the (slow, tunnel-touching)
