@@ -183,6 +183,22 @@ class TestHarnessSmoke:
         assert abs(lanes["oracle-mc"]["bias_bps"]) < 20
         assert lanes["oracle-mc"]["mae_bps"] < 50
 
+    def test_eval_options_sabr_oracle(self):
+        """The SABR leg's SDE-continuation oracle: the oracle-mc lane
+        (true dynamics, true latent vol) must price near the big-MC
+        grid; a fitted lane must stay finite."""
+        out = _run(["tools/eval_options.py", "--universe", "SABR",
+                    "--windows", "2", "--ntrain", "64", "--horizon", "8",
+                    "--nsample", "512", "--oracle-paths", "4096",
+                    "--iters", "5", "--expiries", "3,7", "--k", "20",
+                    "--lanes", "oracle-mc,volt-ewma"])
+        recs = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        lanes = {r["lane"]: r for r in recs}
+        assert {r["universe"] for r in recs} == {"SABR"}
+        assert lanes["oracle-mc"]["mae_bps"] < 60
+        assert np.isfinite(lanes["volt-ewma"]["mae_bps"])
+
     def test_bench_supervisor_cpu_fallback(self):
         # No JAX_PLATFORMS in the env: bench.py takes the supervisor
         # path; BENCH_FORCE_FALLBACK skips the (slow, tunnel-touching)

@@ -28,12 +28,20 @@ def gbm_windows(rng, w, ntrain, h, vol=0.25, s0=50.0):
     return (s0 * np.exp(logp)).astype(np.float32)
 
 
-def sabr_windows(w, ntrain, h, seed=11):
-    """Stochastic-vol SABR paths (the tutorial's harder generator)."""
+def sabr_windows(w, ntrain, h, seed=11, return_vol=False):
+    """Stochastic-vol SABR paths (the tutorial's harder generator).
+
+    ``return_vol=True`` additionally returns the true latent vol paths
+    — hidden state the models must infer; used by oracle constructions
+    (e.g. ``tools/eval_options.py`` continues the true SDE from each
+    window's final ``(F, V)``)."""
     from .synthetic import sabr_paths
 
-    f, _ = sabr_paths(steps=ntrain + h, seed=seed, n_paths=w)
-    return np.asarray(f, np.float32).reshape(w, ntrain + h)
+    f, v = sabr_paths(steps=ntrain + h, seed=seed, n_paths=w)
+    f = np.asarray(f, np.float32).reshape(w, ntrain + h)
+    if return_vol:
+        return f, np.asarray(v, np.float32).reshape(w, ntrain + h)
+    return f
 
 
 def wind_windows(rng, w, ntrain, h, rho=0.02, sig=0.25):
