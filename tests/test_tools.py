@@ -179,9 +179,14 @@ class TestHarnessSmoke:
         assert set(lanes) == {"oracle-mc", "volt-ewma"}
         for r in lanes.values():
             assert np.isfinite(r["mae_bps"]) and np.isfinite(r["bias_bps"])
+            assert np.isfinite(r["fwd_bps"])
+            assert np.isfinite(r["straddle_rel"])
         # true-law MC at S=512: |bias| well under the pooled MAE, both tiny
         assert abs(lanes["oracle-mc"]["bias_bps"]) < 20
         assert lanes["oracle-mc"]["mae_bps"] < 50
+        # the ATM straddle is delta-neutral: the oracle lane's relative
+        # error there is pure MC width noise, well under 1
+        assert lanes["oracle-mc"]["straddle_rel"] < 0.2
 
     def test_eval_options_sabr_oracle(self):
         """The SABR leg's SDE-continuation oracle: the oracle-mc lane

@@ -32,7 +32,13 @@ calls AND puts through ``options.price_call_grid``/``price_put_grid``
 * ``mae_bps``  — mean |MC - oracle| / S_last, in basis points of spot,
   pooled over windows x strikes x expiries x {call, put};
 * ``bias_bps`` — same but signed (systematic over/under-valuation);
-* ``atm_rel``  — mean |MC - oracle| / oracle at the ATM strike, calls.
+* ``atm_rel``  — mean |MC - oracle| / oracle at the ATM strike, calls;
+* ``fwd_bps``  — forward error |mean(S) - F_true| / S_last via put-call
+  parity (call - put = F - K exactly, path by path): the *drift* leg of
+  the pricing error;
+* ``straddle_rel`` — relative error of the ATM straddle (call + put),
+  which is delta-neutral at the forward: the *distribution-width* leg,
+  insensitive to the forward error that dominates ``atm_rel``.
 
 An ``oracle-mc`` lane draws ``--nsample`` paths from the TRUE law
 (conditioned on the true final state, incl. the latent vol on SABR) —
@@ -107,10 +113,11 @@ def sabr_continue(f_last, v_last, h, n_paths, dt, seed):
     return out
 
 
-def score(log_samples, s_last, expiry_idx, cf_call, cf_put):
-    """log_samples (W, S, H) forecast log prices; cf_* (W, K, E) truth."""
+def score(log_samples, s_last, expiry_idx, cf_call, cf_put, fwd_true):
+    """log_samples (W, S, H) forecast log prices; cf_* (W, K, E) truth;
+    fwd_true (W, E) the true conditional forward at each expiry."""
     w = log_samples.shape[0]
-    abs_err, sgn_err, atm_rel = [], [], []
+    abs_err, sgn_err, atm_rel, fwd_err, strad_rel = [], [], [], [], []
     for i in range(w):
         px = np.exp(np.asarray(log_samples[i]))[:, expiry_idx]  # (S, E)
         strikes = MONEYNESS * s_last[i]                          # (K,)
@@ -119,10 +126,16 @@ def score(log_samples, s_last, expiry_idx, cf_call, cf_put):
         abs_err.append(np.abs(err) / s_last[i])
         sgn_err.append(err / s_last[i])
         atm_rel.append(np.abs(mc_call[1] - cf_call[i][1]) / cf_call[i][1])
+        fwd_err.append(np.abs(px.mean(axis=0) - fwd_true[i]) / s_last[i])
+        strad = mc_call[1] + mc_put[1]                           # (E,)
+        strad_true = cf_call[i][1] + cf_put[i][1]
+        strad_rel.append(np.abs(strad - strad_true) / strad_true)
     return {
         "mae_bps": round(float(np.mean(abs_err)) * 1e4, 2),
         "bias_bps": round(float(np.mean(sgn_err)) * 1e4, 2),
         "atm_rel": round(float(np.mean(atm_rel)), 4),
+        "fwd_bps": round(float(np.mean(fwd_err)) * 1e4, 2),
+        "straddle_rel": round(float(np.mean(strad_rel)), 4),
     }
 
 
@@ -142,6 +155,7 @@ def main(args):
         strikes = MONEYNESS[None, :, None] * s_last[:, None, None]
         cf_call = black76(fwd, strikes, v[None, None, :])        # (W,K,E)
         cf_put = cf_call - (fwd - strikes)
+        fwd_true = fwd[:, 0, :]                                  # (W,E)
 
         def true_paths(n_paths, seed):
             z = np.random.default_rng(seed).standard_normal(
@@ -160,6 +174,7 @@ def main(args):
                                  dt, seed)
 
         big = true_paths(args.oracle_paths, seed=3)[:, :, expiry_idx]
+        fwd_true = big.mean(axis=1)                              # (W,E)
         cf_call = np.empty((args.windows, len(MONEYNESS), len(expiry_idx)))
         cf_put = np.empty_like(cf_call)
         for i in range(args.windows):
@@ -187,7 +202,8 @@ def main(args):
     for lname, fn in lanes.items():
         t0 = time.perf_counter()
         log_samples = fn(prices)
-        m = score(log_samples, s_last, expiry_idx, cf_call, cf_put)
+        m = score(log_samples, s_last, expiry_idx, cf_call, cf_put,
+                  fwd_true)
         m["sec"] = round(time.perf_counter() - t0, 1)
         print(json.dumps({"universe": args.universe, "lane": lname, **m}),
               flush=True)
