@@ -61,11 +61,16 @@ def coverage(samples, truth):
     return interval_coverage(samples, truth, LEVELS)
 
 
+ITERS, NSAMPLE = 300, 600
+OUT = ""
+
+
 def run(prices):
     train_x = jnp.arange(NTRAIN - 1, dtype=jnp.float32) * DT
     test_x = jnp.arange(H, dtype=jnp.float32) * DT + train_x[-1] + DT
-    cfg = PipelineConfig(gpcv_iters=300, vol_iters=300, data_iters=300,
-                         mean_func="ewma", k=50, nsample=600)
+    cfg = PipelineConfig(gpcv_iters=ITERS, vol_iters=ITERS, data_iters=ITERS,
+                         mean_func="ewma", k=min(50, NTRAIN - 2),
+                         nsample=NSAMPLE)
     samples, aux = fit_forecast_batch(
         jax.random.key(0), train_x, jnp.asarray(prices[:, :NTRAIN]),
         test_x, cfg,
@@ -140,7 +145,8 @@ def main():
     ax.set_axisbelow(True)
     for s in ("top", "right"):
         ax.spines[s].set_visible(False)
-    out = os.path.join(os.path.dirname(__file__), "calibration_output.png")
+    out = OUT or os.path.join(os.path.dirname(__file__),
+                              "calibration_output.png")
     fig.tight_layout()
     fig.savefig(out, dpi=130)
     print(f"wrote {out}")
@@ -153,5 +159,16 @@ if __name__ == "__main__":
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (e.g. when the TPU "
                         "tunnel is degraded)")
-    p.parse_args()  # --cpu already took effect before configure_backend
+    # smoke-test knobs (defaults reproduce the committed figure)
+    p.add_argument("--windows", type=int, default=WINDOWS)
+    p.add_argument("--ntrain", type=int, default=NTRAIN)
+    p.add_argument("--horizon", type=int, default=H)
+    p.add_argument("--iters", type=int, default=ITERS)
+    p.add_argument("--nsample", type=int, default=NSAMPLE)
+    p.add_argument("--out", type=str, default="",
+                   help="figure path (default: the committed "
+                        "calibration_output.png)")
+    a = p.parse_args()  # --cpu already took effect before configure_backend
+    WINDOWS, NTRAIN, H = a.windows, a.ntrain, a.horizon
+    ITERS, NSAMPLE, OUT = a.iters, a.nsample, a.out
     main()

@@ -141,6 +141,37 @@ class TestHarnessSmoke:
             assert np.isfinite(r["gust_energy"]["ens_std_x1e4"])
         assert any("verdict" in r for r in recs)
 
+    @pytest.mark.parametrize("script,argv,expect", [
+        ("examples/example.py",
+         ["--steps", "64", "--gpcv_iters", "3", "--vol_iters", "3",
+          "--data_iters", "3"],
+         "forecast fan"),
+        ("examples/option_pricing.py",
+         ["--ntrain", "64", "--horizon", "8", "--iters", "3",
+          "--nsample", "32"],
+         "realized-price percentile"),
+        ("examples/live_serving.py",
+         ["--assets", "2", "--steps", "64", "--ticks", "2", "--horizon",
+          "6", "--iters", "3", "--warm-iters", "2", "--nsample", "16"],
+         "warm call includes its compile"),
+        ("examples/multi_asset.py",
+         ["--assets", "2", "--steps", "64", "--iters", "3"],
+         "cross-asset forecast correlation"),
+    ], ids=["example", "option_pricing", "live_serving", "multi_asset"])
+    def test_example_scripts(self, script, argv, expect):
+        """Every user-facing example runs end-to-end at toy shapes (the
+        mtwind fan and calibration study have dedicated tests)."""
+        out = _run([script, "--cpu", *argv])
+        assert expect in out
+
+    def test_calibration_study_example(self, tmp_path):
+        out_png = tmp_path / "calib.png"
+        out = _run(["examples/calibration_study.py", "--cpu", "--windows",
+                    "2", "--ntrain", "64", "--horizon", "6", "--iters",
+                    "3", "--nsample", "16", "--out", str(out_png)])
+        assert out_png.exists() and out_png.stat().st_size > 10_000
+        assert "halving prediction" in out
+
     def test_mtwind_fan_example(self, tmp_path):
         """The mtwind quantile-fan figure (the reference's
         ``mtwind_plotting`` analog) renders end-to-end at toy shapes."""
