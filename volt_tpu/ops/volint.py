@@ -37,13 +37,37 @@ def cumtrapz_weights(x):
     return w * scale
 
 
-def vol_integral(x, vol):
-    """``I = cumsum(weights * vol**2)`` along the last axis.
+def vol_integral(x, vol, rule: str = "reference"):
+    """``I_j = integral of vol**2 up to x[j]`` along the last axis.
 
     ``x`` is the (sorted, uniform) time grid, ``vol`` the volatility path;
     both may carry leading batch dims (broadcast against each other).
+
+    ``rule`` selects the quadrature:
+
+    * ``"reference"`` (default) — the reference's ``CumTrapz``
+      (``VolKernel.py:4-10``): cumsum of uniform weights with the grid's
+      first AND last weight halved.  Every *prefix* therefore carries the
+      last point at full weight except the final one — a documented parity
+      quirk whose consequence (one-step forecast std ``/sqrt(2)``) is
+      quantified in PARITY.md.
+    * ``"trapezoid"`` — the exact cumulative trapezoid rule,
+      ``I_j = dx * (v_0^2/2 + v_1^2 + ... + v_{j-1}^2 + v_j^2/2)``:
+      each increment is ``dx * (v_j^2 + v_{j-1}^2) / 2``, so rollout
+      one-step variances carry full weight.  The principled opt-out from
+      the reference quirk.
     """
-    return jnp.cumsum(cumtrapz_weights(x) * vol * vol, axis=-1)
+    if rule == "reference":
+        return jnp.cumsum(cumtrapz_weights(x) * vol * vol, axis=-1)
+    if rule == "trapezoid":
+        x = jnp.asarray(x)
+        vol = jnp.asarray(vol)
+        dx = (x[..., 1] - x[..., 0])[..., None]
+        v2 = vol * vol
+        cs = jnp.cumsum(dx * v2, axis=-1)
+        return cs - 0.5 * dx * (v2[..., :1] + v2)
+    raise ValueError(f"unknown integral rule {rule!r} "
+                     "(expected 'reference' or 'trapezoid')")
 
 
 def min_index_covariance(integral):
