@@ -117,6 +117,16 @@ class TestHarnessSmoke:
         assert np.isfinite(rec["sparse"]["24"]["rel_err"])
         assert rec["spot"]["n"] == 128
 
+    def test_jitter_argmin(self):
+        # the KL-prior-jitter argmin study (PARITY.md round 5): smoke the
+        # dual-lane torch training + downstream CRN forecast comparison
+        out = _run(["tools/jitter_argmin.py", "--n", "30", "--iters", "5",
+                    "--horizon", "6"], env_extra={"JAX_ENABLE_X64": "1"})
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["x64"] and rec["jitter"] == 1e-3
+        assert np.isfinite(rec["vol_path_max_rel_diff"])
+        assert np.isfinite(rec["forecast_quantile_max_rel_diff"])
+
     def test_wind_sweep(self):
         out = _run(["tools/wind_sweep.py", "--windows", "2", "--ntrain",
                     "64", "--horizon", "6", "--nsample", "16", "--iters",
