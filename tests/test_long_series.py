@@ -44,12 +44,15 @@ class TestLongSeries:
 
     def test_sparse_vs_dense_quality_n2000(self):
         """At n = 2000 (the reference's max_cholesky_size cap, where both
-        families run) the m = 256 sparse family's SABR vol-recovery error
-        is within 1.5x of the full-resolution fit's — the long-context
-        quality leg.  Measured (tools/sparse_quality.py, 400-1000 iters):
-        sparse ~0.22 at m in {64, 128, 256} vs full-resolution ~0.25-0.30,
-        i.e. the sparse family actually WINS on this smooth oracle; the
-        m-sweep and the n = 16k spot row live in BENCH_SCALING.md."""
+        families run) the full-resolution family must recover the SABR vol
+        at least as well as the m = 256 sparse bottleneck — the round-4
+        anomaly (full losing 0.297-to-0.220 to sparse at equal iteration
+        budgets) was under-convergence of Adam in the tridiag
+        parameterization, fixed by natural-gradient VI
+        (gp/natural.py; measured in tools/gpcv_convergence.py: the family
+        optimum in ~10 iterations, n-independent).  Sparse stays pinned
+        within 1.15x of full — the m-sweep and the n = 16k spot row live
+        in BENCH_SCALING.md."""
         from volt_tpu.data import sabr_paths
         from volt_tpu.train import learn_gpcv
 
@@ -67,9 +70,29 @@ class TestLongSeries:
         sparse = rel_err(learn_gpcv_sparse(train_x, jnp.asarray(f),
                                            num_inducing=256,
                                            train_iters=iters))
-        assert dense < 0.40, dense
-        assert sparse <= 1.5 * dense, (sparse, dense)
+        # full-resolution NGVI: at/near the family optimum (~0.22)
+        assert dense < 0.24, dense
+        # the flagship no longer loses to its own 256-point bottleneck
+        assert dense <= sparse + 0.005, (dense, sparse)
+        assert sparse <= 1.15 * dense, (sparse, dense)
         assert sparse < 0.30, sparse
+
+    def test_full_family_recovery_vs_n(self):
+        """FULL-family recovery must not degrade with n at a fixed (small)
+        iteration budget — the gate VERDICT r4 asked for.  NGVI's
+        convergence is n-independent (tools/gpcv_convergence.py: n=2000
+        reaches the optimum in ~10 steps), so 100 iterations must land
+        within a whisker of the asymptote at every n."""
+        from volt_tpu.data import sabr_paths
+        from volt_tpu.train import learn_gpcv
+
+        for n in (500, 2000):
+            f, v = sabr_paths(steps=n + 1, seed=2019)
+            dt = 1.0 / (n + 1)
+            train_x = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32) + dt
+            vol = learn_gpcv(train_x, jnp.asarray(f), train_iters=100)
+            err = float(np.mean(np.abs(np.asarray(vol) - v[1:]) / v[1:]))
+            assert err < 0.24, (n, err)
 
     def test_sparse_return_model_state_consistent(self):
         """The sparse state carries the FULL grid plus its inducing grid:

@@ -55,6 +55,11 @@ class PipelineConfig:
     # contains the full-rank optimum for the BM prior) or "full" (the
     # reference's dense n x n Cholesky).  See models/gpcv.py.
     gpcv_q: str = "tridiag"
+    # GPCV optimizer: "ngvi" (natural-gradient VI on the tridiag family —
+    # n-independent convergence in tens of iterations, gp/natural.py) or
+    # "adam" (the reference's loop, train_utils.py:40; the only choice
+    # for gpcv_q="full").
+    gpcv_opt: str = "ngvi"
     # vol-GP MLL path: "spectral" (closed-form min(x) eigensystem,
     # elementwise O(n)/step — REQUIRES an equispaced train_x, which
     # fit_forecast_batch validates when the grid is concrete) or
@@ -87,6 +92,9 @@ def _resolve_config(config: PipelineConfig) -> PipelineConfig:
             repl["vol_mll"] = "kalman"
         if repl:
             config = dataclasses.replace(config, **repl)
+    if config.gpcv_opt == "ngvi" and (config.kernel != "bm"
+                                      or config.gpcv_q != "tridiag"):
+        config = dataclasses.replace(config, gpcv_opt="adam")
     return config
 
 
@@ -121,6 +129,30 @@ def _check_min_length(train_x):
             f"the pipeline needs at least 11 train points (the GPCV "
             f"running-std init uses the 11th entry), got n={n}"
         )
+
+
+def _volt_data_fit(volt: VoltGP, train_x, log_y, vol, volt_params, iters,
+                   lr):
+    """Stage-3 core: fit the Volt data model's noise/mean hyperparameters
+    with the O(n) Kalman MLL over the Brownian-bridge increments (shared
+    by the single-asset and multitask pipelines).  History-dependent means
+    (EWMA family) are parameter-free in their train values, so the mean
+    vector is computed once outside the loss."""
+    v_integral = volt.kernel.integral(train_x, vol)
+    if volt.mean.is_history_dependent:
+        mean_vec = volt.train_mean(volt_params, train_x, log_y)
+
+        def data_loss(p):
+            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
+            return -brownian_noise_mll_kalman(v_integral, noise,
+                                              log_y - mean_vec)
+    else:
+        def data_loss(p):
+            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
+            mv = volt.train_mean(p, train_x, log_y)
+            return -brownian_noise_mll_kalman(v_integral, noise, log_y - mv)
+
+    return _adam_scan(data_loss, volt_params, iters, lr)
 
 
 def fit_forecast(key, train_x, train_y, test_x, config: PipelineConfig,
@@ -159,10 +191,18 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
                      q=config.gpcv_q)
     gpcv_params = (gpcv.init(train_x, yy, key=k_lik)
                    if init_params is None else init_params["gpcv"])
-    gpcv_params, gpcv_losses = _adam_scan(
-        lambda p: -gpcv.elbo(p, train_x, yy),
-        gpcv_params, config.gpcv_iters, config.gpcv_lr,
-    )
+    if config.gpcv_opt == "ngvi":
+        from ..gp.natural import ngvi_tridiag_fit
+
+        gpcv_params, gpcv_losses = ngvi_tridiag_fit(
+            gpcv, gpcv_params, train_x, yy, config.gpcv_iters,
+            config.gpcv_lr,
+        )
+    else:
+        gpcv_params, gpcv_losses = _adam_scan(
+            lambda p: -gpcv.elbo(p, train_x, yy),
+            gpcv_params, config.gpcv_iters, config.gpcv_lr,
+        )
     vol = gpcv.predicted_scale(gpcv_params, train_x)
 
     # ---- stage 2: vol GP (factorization-free MLL per Adam step) -----------
@@ -193,21 +233,9 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     volt = VoltGP(mean=make_mean(config.mean_func, k=config.k))
     volt_params = (volt.init() if init_params is None
                    else init_params["volt"])
-    v_integral = volt.kernel.integral(train_x, vol)
-    if volt.mean.is_history_dependent:
-        mean_vec = volt.train_mean(volt_params, train_x, log_y)
-
-        def data_loss(p):
-            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
-            return -brownian_noise_mll_kalman(v_integral, noise, log_y - mean_vec)
-    else:
-        def data_loss(p):
-            noise = volt.likelihood.noise(p["likelihood"])[..., 0]
-            mv = volt.train_mean(p, train_x, log_y)
-            return -brownian_noise_mll_kalman(v_integral, noise, log_y - mv)
-
-    volt_params, data_losses = _adam_scan(
-        data_loss, volt_params, config.data_iters, config.data_lr
+    volt_params, data_losses = _volt_data_fit(
+        volt, train_x, log_y, vol, volt_params, config.data_iters,
+        config.data_lr,
     )
     model = volt.fit_state(volt_params, train_x, log_y, vol, vol_state)
 

@@ -108,8 +108,13 @@ def _adam_scan(loss_fn, params, train_iters: int, lr: float):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("module", "train_iters", "lr"))
-def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
+@partial(jax.jit, static_argnames=("module", "train_iters", "lr", "opt"))
+def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr,
+              opt: str = "adam"):
+    if opt == "ngvi":
+        from .gp.natural import ngvi_tridiag_fit
+
+        return ngvi_tridiag_fit(module, params, train_x, yy, train_iters, lr)
     return _adam_scan(
         lambda p: -module.elbo(p, train_x, yy), params, train_iters, lr
     )
@@ -118,7 +123,7 @@ def _fit_gpcv(module: GPCVModel, params, train_x, yy, train_iters, lr):
 def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False,
                kernel: str = "bm", lr: float = 0.01, return_model: bool = False,
                key=None, mc_scale_samples=None, q: str | None = None,
-               param: str = "exp"):
+               param: str = "exp", opt: str | None = None):
     """Infer the volatility path from prices.  Returns ``pred_scale``
     (and the fitted :class:`GPCVState` when ``return_model=True`` — the
     reference's ``return_model`` call site was broken; fixed by design,
@@ -137,14 +142,27 @@ def learn_gpcv(train_x, train_y, train_iters: int = 1000, printing: bool = False
     reference pipelines' choice, ``train_utils.py:20`` — or ``"cv"``,
     the Wilson-Ghahramani copula form with its exact-Hessian Laplace
     init, ``models/gpcv.py``).
+
+    ``opt`` selects the optimizer: ``"ngvi"`` (the default for the
+    tridiag family) runs natural-gradient VI on the variational state
+    with per-iteration Adam on the hyperparameters — it reaches the
+    family optimum in tens of iterations independent of n, where plain
+    Adam needs thousands at n~2000 (:mod:`volt_tpu.gp.natural`);
+    ``"adam"`` is the reference's single-Adam loop
+    (``train_utils.py:40``), the only choice for ``q="full"``.
     """
     if q is None:
         q = "tridiag" if kernel == "bm" else "full"
+    if opt is None:
+        opt = "ngvi" if q == "tridiag" else "adam"
+    if opt == "ngvi" and q != "tridiag":
+        raise ValueError("opt='ngvi' requires the tridiag family")
     train_x = jnp.asarray(train_x)
     yy = scaled_returns(train_x, train_y)
     module = GPCVModel(kernel=kernel, q=q, param=param)
     params = module.init(train_x, yy, key=key)
-    params, losses = _fit_gpcv(module, params, train_x, yy, train_iters, lr)
+    params, losses = _fit_gpcv(module, params, train_x, yy, train_iters, lr,
+                               opt)
     if printing:
         for i in range(0, train_iters, 50):
             print(f"Iter {i + 1}/{train_iters} - Loss: {float(losses[i]):.3f}")
