@@ -17,6 +17,11 @@ from .pipeline import (
     shard_batch,
     warm_start,
 )
+from .pipeline_multitask import (
+    MultitaskPipelineConfig,
+    fit_forecast_multitask,
+    warm_start_multitask,
+)
 
 __all__ = [
     "make_mesh",
@@ -27,4 +32,7 @@ __all__ = [
     "shard_batch",
     "warm_start",
     "price_options_batch",
+    "MultitaskPipelineConfig",
+    "fit_forecast_multitask",
+    "warm_start_multitask",
 ]
