@@ -204,8 +204,18 @@ class VolatilityKernel(ConfigEq):
     factor that the fast rollout path uses instead of ever building ``K``.
     """
 
-    def __init__(self, batch_shape: tuple = ()):
+    def __init__(self, batch_shape: tuple = (),
+                 integral_rule: str = "reference"):
+        if integral_rule not in ("reference", "trapezoid"):
+            raise ValueError("integral_rule must be 'reference' or "
+                             "'trapezoid'")
         self.batch_shape = tuple(batch_shape)
+        # quadrature for the running integral: "reference" replicates the
+        # CumTrapz endpoint quirk (VolKernel.py:4-10; one-step forecast
+        # std / sqrt(2) — quantified in PARITY.md); "trapezoid" is the
+        # exact cumulative trapezoid rule, the fix-by-design opt-out.
+        # Both assume the uniform grid every pipeline uses (dx = x1 - x0).
+        self.integral_rule = integral_rule
 
     def init(self, dtype=jnp.float32):
         return {}
@@ -215,24 +225,29 @@ class VolatilityKernel(ConfigEq):
         x = _as_grid(x)
         vol_path = _as_grid(vol_path)
         if diag:
-            return vol_integral(x, vol_path)
+            return vol_integral(x, vol_path, self.integral_rule)
         if (
-            jax.default_backend() == "tpu"
+            self.integral_rule == "reference"
+            and jax.default_backend() == "tpu"
             and x.ndim == 1
             and vol_path.ndim in (1, 2)
         ):
             # TPU default: the fused Pallas tile build (bit-identical to
             # the XLA twin, measured faster — PERFORMANCE.md), with
-            # gradients through the XLA transpose.
+            # gradients through the XLA transpose.  The Pallas kernel
+            # hard-codes the reference endpoint weights; the trapezoid
+            # rule takes the XLA build below.
             from ..ops.pallas import volt_covariance_grad
 
             return volt_covariance_grad(x, vol_path)
-        return min_index_covariance(vol_integral(x, vol_path))
+        return min_index_covariance(
+            vol_integral(x, vol_path, self.integral_rule)
+        )
 
-    @staticmethod
-    def integral(x, vol_path):
+    def integral(self, x, vol_path):
         """Expose the running integral for closed-form Cholesky consumers."""
-        return vol_integral(_as_grid(x), _as_grid(vol_path))
+        return vol_integral(_as_grid(x), _as_grid(vol_path),
+                            self.integral_rule)
 
 
 class RBFKernel(ConfigEq):

@@ -104,9 +104,10 @@ class VoltState:
 class VoltGP(ConfigEq):
     """Static configuration + pure functions for the Volt exact GP."""
 
-    def __init__(self, mean=None, batch_shape: tuple = ()):
+    def __init__(self, mean=None, batch_shape: tuple = (),
+                 integral_rule: str = "reference"):
         self.mean = mean if mean is not None else LinearMean(1)
-        self.kernel = VolatilityKernel()
+        self.kernel = VolatilityKernel(integral_rule=integral_rule)
         self.likelihood = GaussianLikelihood(batch_shape=batch_shape)
         self.batch_shape = tuple(batch_shape)
 

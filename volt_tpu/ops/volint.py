@@ -51,11 +51,19 @@ def vol_integral(x, vol, rule: str = "reference"):
       last point at full weight except the final one — a documented parity
       quirk whose consequence (one-step forecast std ``/sqrt(2)``) is
       quantified in PARITY.md.
-    * ``"trapezoid"`` — the exact cumulative trapezoid rule,
-      ``I_j = dx * (v_0^2/2 + v_1^2 + ... + v_{j-1}^2 + v_j^2/2)``:
+    * ``"trapezoid"`` — the exact cumulative trapezoid rule over the grid,
+      with the first point carrying the time-from-zero mass
+      ``I_0 = x_0 * v_0^2`` (constant extension of the vol path to
+      ``t = 0`` — the same convention the BM prior uses for its first
+      increment, :func:`volt_tpu.ops.bidiag.min_precision`); thereafter
       each increment is ``dx * (v_j^2 + v_{j-1}^2) / 2``, so rollout
       one-step variances carry full weight.  The principled opt-out from
-      the reference quirk.
+      the reference quirk.  ``I_0 > 0`` on the pipelines' ``x_0 = dx``
+      grids keeps the min-kernel Gram nonsingular (the dense conditional
+      oracles factor it jitterless).
+
+    Both rules assume the uniform grid every pipeline uses
+    (``dx = x[1] - x[0]``; non-uniform grids are not supported here).
     """
     if rule == "reference":
         return jnp.cumsum(cumtrapz_weights(x) * vol * vol, axis=-1)
@@ -64,8 +72,10 @@ def vol_integral(x, vol, rule: str = "reference"):
         vol = jnp.asarray(vol)
         dx = (x[..., 1] - x[..., 0])[..., None]
         v2 = vol * vol
-        cs = jnp.cumsum(dx * v2, axis=-1)
-        return cs - 0.5 * dx * (v2[..., :1] + v2)
+        x0 = jnp.broadcast_to(x[..., :1], v2[..., :1].shape)
+        inc0 = x0 * v2[..., :1]
+        incs = 0.5 * dx * (v2[..., 1:] + v2[..., :-1])
+        return jnp.cumsum(jnp.concatenate([inc0, incs], axis=-1), axis=-1)
     raise ValueError(f"unknown integral rule {rule!r} "
                      "(expected 'reference' or 'trapezoid')")
 

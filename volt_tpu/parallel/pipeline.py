@@ -78,6 +78,11 @@ class PipelineConfig:
     #                 cost on this image's tunnel (PERFORMANCE.md).
     output: str = "samples"
     quantile_levels: tuple = (0.025, 0.05, 0.25, 0.5, 0.75, 0.95, 0.975)
+    # quadrature for the Volt kernel's running vol integral: "reference"
+    # replicates the CumTrapz endpoint quirk (one-step forecast std
+    # /sqrt(2) — PARITY.md); "trapezoid" is the exact rule, the
+    # fix-by-design opt-out (kernels.VolatilityKernel).
+    integral_rule: str = "reference"
 
 
 def _resolve_config(config: PipelineConfig) -> PipelineConfig:
@@ -230,7 +235,8 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
 
     # ---- stage 3: Volt data model (tridiagonal-precision MLL; O(n)/step) --
     log_y = jnp.log(train_y[..., 1:])
-    volt = VoltGP(mean=make_mean(config.mean_func, k=config.k))
+    volt = VoltGP(mean=make_mean(config.mean_func, k=config.k),
+                  integral_rule=config.integral_rule)
     volt_params = (volt.init() if init_params is None
                    else init_params["volt"])
     volt_params, data_losses = _volt_data_fit(

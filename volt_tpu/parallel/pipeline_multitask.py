@@ -74,6 +74,9 @@ class MultitaskPipelineConfig:
     vol_mll: str = "spectral"
     output: str = "samples"
     quantile_levels: tuple = (0.025, 0.05, 0.25, 0.5, 0.75, 0.95, 0.975)
+    # Volt-kernel quadrature ("reference" endpoint quirk / exact
+    # "trapezoid") — see PipelineConfig.integral_rule.
+    integral_rule: str = "reference"
     # kernel is fixed to "bm": the Kronecker vol GP's Matheron forecast
     # sampler and the tridiag family both rely on the Markov min kernel
     # (the reference's multitask model is likewise BM-only, BMGP.py:30).
@@ -182,7 +185,7 @@ def _fit_forecast_mt_jit(key, train_x, train_ys, test_x,
     volt = VoltGP(mean=make_mean(
         config.mean_func, k=config.k,
         theta=config.theta if config.theta is not None else 0.5,
-    ))
+    ), integral_rule=config.integral_rule)
     if init_params is None:
         volt_init = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (num_tasks, *jnp.shape(a))),

@@ -76,8 +76,10 @@ def sample_vol_paths(key, vol_state, test_x, nsample: int,
       wrong distribution.
     * ``False`` — force the dense sampler (jit-safe for any grid; use
       this to jit over overlapping/interpolating queries).
-    * ``True`` — assert the contract and take the fast path without the
-      host-side probe (the runtime guard still applies).
+    * ``True`` — the CALLER asserts the contract: the fast path is taken
+      without the host-side probe.  No Python-level check runs; a
+      violating concrete grid NaN-poisons through the runtime guard
+      (loud, not silently wrong).
     """
     from .kernels import BMKernel
 
@@ -129,8 +131,24 @@ def _rollout_volt_scan(model: VoltState, latent_mean, test_x, pred_vol, zs,
     h = test_x.shape[-1]
     nsample = pred_vol.shape[0]
 
-    # (S, H) conditional std devs: endpoint-halved increment per step.
-    sds = jnp.sqrt(0.5 * dx) * pred_vol
+    # (S, H) conditional std devs: the per-step increment of the running
+    # vol integral under the module's quadrature rule.
+    rule = getattr(model.module.kernel, "integral_rule", "reference")
+    if rule == "trapezoid":
+        # exact trapezoid: inc_t = dx (v_t^2 + v_{t-1}^2) / 2 with v_{-1}
+        # the last train-grid vol — grid-growth stable (no endpoint
+        # effect), so the dense joint build gives the same increments.
+        pv2 = pred_vol * pred_vol
+        v_last2 = jnp.exp(2.0 * model.log_vol_path[..., -1])
+        prev2 = jnp.concatenate(
+            [jnp.broadcast_to(v_last2, (*pv2.shape[:-1], 1)),
+             pv2[..., :-1]], axis=-1,
+        )
+        sds = jnp.sqrt(0.5 * dx * (pv2 + prev2))
+    else:
+        # reference CumTrapz: each appended point is the (halved) endpoint
+        # of its own grid, so every step's increment is 0.5 dx v_t^2.
+        sds = jnp.sqrt(0.5 * dx) * pred_vol
 
     hist = mean_mod.is_history_dependent
     # O(1)-state mean protocol: at horizon <= k the Magpie state is a few
@@ -242,14 +260,25 @@ def rollouts(key, model: VoltState, train_x, train_y, test_x,
 
 
 def _joint_integral_increments(model: VoltState, test_x, pred_vol):
-    """Per-test-point increments of the CumTrapz integral on the joint grid.
+    """Per-test-point increments of the vol integral on the joint grid.
 
-    Full weight ``dx`` everywhere except the joint grid's last point, which
-    is halved — the reference's endpoint rule (``VolKernel.py:4-10``) on the
-    ``[train; test]`` grid.
+    Under the reference rule: full weight ``dx`` everywhere except the
+    joint grid's last point, which is halved (the endpoint quirk,
+    ``VolKernel.py:4-10``, on the ``[train; test]`` grid).  Under the
+    trapezoid rule: the exact ``dx (v_t^2 + v_{t-1}^2) / 2`` increments
+    (``v_{-1}`` = the last train-grid vol).
     """
     dx = model.train_x[..., 1] - model.train_x[..., 0]
     h = test_x.shape[-1]
+    rule = getattr(model.module.kernel, "integral_rule", "reference")
+    if rule == "trapezoid":
+        pv2 = pred_vol * pred_vol
+        v_last2 = jnp.exp(2.0 * model.log_vol_path[..., -1])
+        prev2 = jnp.concatenate(
+            [jnp.broadcast_to(v_last2, (*pv2.shape[:-1], 1)),
+             pv2[..., :-1]], axis=-1,
+        )
+        return 0.5 * dx * (pv2 + prev2)
     w = jnp.full((h,), dx, pred_vol.dtype).at[-1].set(0.5 * dx)
     return w * pred_vol * pred_vol
 
@@ -329,8 +358,9 @@ def generate_prediction_dense(key, model: VoltState, test_x, pred_vol,
                               theta: float = 0.5):
     """Literal dense restatement of ``rollout_utils.GeneratePrediction``:
     joint covariance build, slice, psd-safe Cholesky (jitter 1e-4),
-    conditional mean/cov, Cholesky sampling."""
-    kernel = VolatilityKernel()
+    conditional mean/cov, Cholesky sampling.  Uses the model's own kernel,
+    so the quadrature rule (reference/trapezoid) follows the module."""
+    kernel = model.module.kernel
     mean_mod = model.module.mean
     mean_params = model.params["mean"]
     test_x = jnp.asarray(test_x)
@@ -382,7 +412,8 @@ def rollouts_dense(key, model: VoltState, train_x, train_y, test_x,
     the *same* conditional law at the same points, so they must agree
     per-path to float precision, not just in moments.
     """
-    kernel = VolatilityKernel()
+    # the model's own kernel: the quadrature rule follows the module
+    kernel = model.module.kernel
     mean_mod = model.module.mean
     mean_params = model.params["mean"]
     use_theta = theta is not None

@@ -425,13 +425,20 @@ def train_volt_magpie(train_x, train_y, vol_state: BMGPState, vol_path,
                       train_iters: int = 1000, printing: bool = False,
                       k: int = 25, theta: float = 0.5,
                       mean_func: str = "ewma", lr: float = 0.1,
-                      key=None) -> VoltState:
+                      key=None,
+                      integral_rule: str = "reference") -> VoltState:
     """Volt with a mean selected by name (reference
     ``train_utils.py:192-257``; ``train_y`` holds prices, already sliced to
-    the return grid by the caller as in the reference call sites)."""
+    the return grid by the caller as in the reference call sites).
+
+    ``integral_rule`` selects the vol-integral quadrature
+    (:class:`~volt_tpu.kernels.VolatilityKernel`): ``"reference"`` keeps
+    the CumTrapz endpoint quirk, ``"trapezoid"`` the exact rule.
+    """
     train_x = jnp.asarray(train_x)
     log_y = jnp.log(jnp.asarray(train_y))
-    module = VoltGP(mean=make_mean(mean_func, k=k, theta=theta))
+    module = VoltGP(mean=make_mean(mean_func, k=k, theta=theta),
+                    integral_rule=integral_rule)
     return _fit_volt_state(module, train_x, log_y, jnp.asarray(vol_path),
                            vol_state, train_iters, lr, printing,
                            init_mean_from_data=(mean_func == "loglinear"),
