@@ -109,6 +109,36 @@ class TestHarnessSmoke:
         rec = json.loads(out.strip().splitlines()[-1])
         assert rec["total"] == 2 and rec["ok_rate"] == 1.0
 
+    def test_bench_refit_multitask(self):
+        out = _run(["tools/bench_refit_multitask.py", "--tasks", "3",
+                    "--ntrain", "96", "--iters", "5", "--warm-iters", "2",
+                    "--nsample", "8", "--horizon", "6", "--reps", "1"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["stage"] == "warm_refit_multitask" and rec["ok"]
+        assert rec["warm_ms"] > 0 and rec["cold_ms"] > 0
+
+    def test_gpcv_convergence(self):
+        out = _run(["tools/gpcv_convergence.py", "--ns", "64", "--lrs",
+                    "0.01", "--chunks", "3,3", "--opt", "ngvi"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["opt"] == "ngvi"
+        assert rec["runs"][0]["trace"][-1]["iters"] == 6
+
+    def test_eval_integral_rule(self):
+        out = _run(["tools/eval_integral_rule.py", "--assets", "3",
+                    "--ntrain", "80", "--horizon", "5", "--iters", "5",
+                    "--nsample", "40"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert "verdict" in rec
+        assert rec["verdict"]["crps_all_trapezoid"] > 0
+
+    def test_tridiag_family_equiv_tool(self):
+        # the x64 lane runs in test_multitask.py; this smokes the f32 path
+        out = _run(["tools/tridiag_family_equiv.py"])
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert not rec["x64"]
+        assert rec["kl_rel_diff"] < 1e-4
+
     def test_sparse_quality(self):
         out = _run(["tools/sparse_quality.py", "--n", "96", "--ms", "24",
                     "--iters", "3", "--spot-n", "128"])
