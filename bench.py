@@ -117,6 +117,27 @@ def main():
         "vs_baseline": round(assets_per_sec / north_star, 4),
     }
 
+    # Tunnel-health indicator (round-4 verdict item 6): a fetch-bound
+    # measurement (samples mode) reads tunnel bandwidth more than code;
+    # record the measured device->host rate so cross-round comparisons of
+    # value_samples can be normalized for tunnel state.
+    if jax.default_backend() != "cpu":
+        # one warm fetch, then time a FRESH buffer: device_get of the same
+        # Array twice hits jax's host-side _npy_value cache and measures
+        # nothing (observed ~1e5 "MB/s")
+        junk = jnp.arange(2 * 1024 * 1024, dtype=jnp.float32)  # 8 MiB
+        jax.device_get(junk + 0.0)  # warm (compile + tunnel wake)
+        fresh = junk + 1.0
+        t0 = time.perf_counter()
+        jax.device_get(fresh)
+        record["tunnel_MBps"] = round(8.0 / (time.perf_counter() - t0), 1)
+
+    # Print the primary record NOW: a tunnel hiccup, non-finite assert, or
+    # parent-deadline kill during the companion run below must not lose a
+    # completed TPU measurement (the supervisor takes the LAST parseable
+    # line, so the enriched record supersedes this one when it lands).
+    print(json.dumps(record), flush=True)
+
     # Companion raw-path-delivery measurement so the driver's bench series
     # stays apples-to-apples across rounds (r02 recorded samples mode,
     # r03+ records quantiles mode): same fits + MC workload, but the full
@@ -126,6 +147,7 @@ def main():
     if (output == "quantiles" and not note
             and os.environ.get("BENCH_BOTH", "1") != "0"):
         import dataclasses
+        import sys
 
         cfg_s = dataclasses.replace(cfg, output="samples")
 
@@ -138,17 +160,22 @@ def main():
             return np.concatenate([jax.device_get(s) for s in pending],
                                   axis=0)
 
-        run_samples(jax.random.key(0))  # warm/compile
-        t0 = time.perf_counter()
-        out_s = run_samples(jax.random.key(1))
-        elapsed_s = time.perf_counter() - t0
-        assert np.isfinite(out_s).all(), "non-finite forecasts (samples)"
+        try:
+            run_samples(jax.random.key(0))  # warm/compile
+            t0 = time.perf_counter()
+            out_s = run_samples(jax.random.key(1))
+            elapsed_s = time.perf_counter() - t0
+            assert np.isfinite(out_s).all(), "non-finite forecasts (samples)"
+        except Exception as e:  # keep the already-printed primary record
+            print(f"companion samples-mode run failed: {e!r}",
+                  file=sys.stderr)
+            return
         record["value_samples"] = round(n_assets / elapsed_s, 4)
         record["unit_samples"] = (
             f"assets/sec/chip (same workload, raw-path delivery: "
             f"{cfg.nsample}x{horizon} samples fetched)"
         )
-    print(json.dumps(record))
+        print(json.dumps(record), flush=True)
 
 
 def _extract_json_line(text: str):

@@ -31,6 +31,48 @@ class TestGraftEntry:
 
         g.dryrun_multichip(8)  # asserts sharding + finiteness internally
 
+    def test_backend_decision_dead_tunnel_raises_within_deadline(self):
+        """The previously unguarded hang case (round-4 verdict item 7): a
+        caller-initialized backend whose tunnel died afterwards.  The
+        decision core must RAISE after the (deadline-bounded, simulated
+        here) probe instead of proceeding into a compile that hangs
+        forever; with no backend up it falls back to CPU instead."""
+        sys.path.insert(0, REPO)
+        import time
+
+        import __graft_entry__ as g
+
+        calls = []
+
+        def dead_probe(timeout_s):
+            # simulate a hung backend init contained by the probe's
+            # subprocess deadline: the probe returns (= within deadline)
+            # with a non-tpu verdict rather than blocking
+            calls.append(timeout_s)
+            return "timeout"
+
+        t0 = time.perf_counter()
+        with pytest.raises(RuntimeError, match="JAX_PLATFORMS=cpu"):
+            g._backend_decision(["axon", "cpu"], True, False, dead_probe)
+        assert time.perf_counter() - t0 < 5.0  # no in-process hang
+        assert calls == [90.0]
+        # no backend up yet: dead tunnel downgrades to CPU, never raises
+        assert g._backend_decision(["axon", "cpu"], False, False,
+                                   dead_probe) == "force-cpu"
+
+    def test_backend_decision_safe_paths_skip_probe(self):
+        sys.path.insert(0, REPO)
+        import __graft_entry__ as g
+
+        def boom(timeout_s):  # pragma: no cover - must not be called
+            raise AssertionError("probe must not run on the safe paths")
+
+        assert g._backend_decision([], False, True, boom) == "force-cpu"
+        assert g._backend_decision(["cpu"], True, False, boom) == "ok"
+        alive = lambda t: "tpu"
+        assert g._backend_decision(["axon", "cpu"], True, False,
+                                   alive) == "ok"
+
 
 class TestTridiagProperties:
     def test_random_battery_vs_dense(self, rng):
