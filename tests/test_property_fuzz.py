@@ -157,7 +157,7 @@ class TestVoltCovarianceFuzz:
             x = np.cumsum(np.exp(rng.uniform(-3, 0, n)))
             vol = np.exp(rng.uniform(-1.5, 1.0, n))
             with jax.enable_x64():
-                integral = VolatilityKernel.integral(
+                integral = kern.integral(
                     jnp.asarray(x, jnp.float64), jnp.asarray(vol, jnp.float64)
                 )
                 ell = np.asarray(brownian_cholesky(integral))
