@@ -148,3 +148,43 @@ class TestPipelineOnChip:
         assert samples.shape == (4, 32, h)
         assert np.isfinite(samples).all()
         assert _fetch(aux["ok"]).all()
+
+
+class TestSpectralFFTOnChip:
+    def test_fft_projection_matches_matmul_on_chip(self):
+        """XLA:TPU's FFT (odd length 2n+1) vs the materialized-basis
+        matmul, on the real chip — the round-5 O(n log n) projection
+        must hold its CPU-pinned accuracy through the TPU FFT lowering."""
+        from volt_tpu.ops.brownian import min_kernel_project
+
+        n = 6000  # > _PROJECT_FFT_MIN_N: auto takes the FFT branch
+        y = 0.3 * jax.random.normal(jax.random.key(7), (n,))
+        a = _fetch(jax.jit(
+            lambda v: min_kernel_project(v, method="matmul"))(y))
+        b = _fetch(jax.jit(
+            lambda v: min_kernel_project(v, method="fft"))(y))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=5e-5 * max(scale, 1.0))
+
+    def test_vol_fit_beyond_basis_bound_on_chip(self):
+        """Spectral vol-GP fit at n = 40000 (impossible before round 5:
+        the materialized basis would need 6.4 GB and overflows its int32
+        angle reduction) runs on-chip with O(n) memory."""
+        from volt_tpu.models.bmgp import BMGP
+        from volt_tpu.train import _adam_scan
+
+        n = 40000
+        x = jnp.arange(1, n + 1, dtype=jnp.float32) * (1.0 / 252)
+        y = jnp.log(0.2) + 0.1 * jax.random.normal(jax.random.key(3), (n,))
+        bm = BMGP()
+
+        @jax.jit
+        def fit(p):
+            cache = bm.spectral_cache(x, y)
+            return _adam_scan(lambda q: -bm.mll_spectral(q, cache),
+                              p, 20, 0.05)
+
+        params, losses = fit(bm.init())
+        losses = _fetch(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

@@ -144,21 +144,24 @@ class BMGP(ConfigEq):
             ``u_k[j] = 2/sqrt(2n+1) * sin((2k+1) j pi / (2n+1))``
 
         so no factorization is needed even once per fit, and after
-        projecting ``y`` and ``x`` onto the basis (one batched matmul
-        each), every (vol, noise) MLL evaluation in :meth:`mll_spectral`
-        is elementwise O(n) — fully parallel, unlike the O(n)-sequential
-        Kalman scan.  The ``x0`` offset is a rank-1 term handled by
-        Sherman-Morrison.  Callers must ensure ``x`` is equispaced.
+        projecting ``y`` and ``x`` onto the basis (one batched matmul —
+        or, past :data:`~volt_tpu.ops.brownian._PROJECT_FFT_MIN_N`, one
+        O(n log n) FFT transform with NO n x n object at all, valid for
+        any ``n``), every (vol, noise) MLL evaluation in
+        :meth:`mll_spectral` is elementwise O(n) — fully parallel,
+        unlike the O(n)-sequential Kalman scan.  The ``x0`` offset is a
+        rank-1 term handled by Sherman-Morrison.  Callers must ensure
+        ``x`` is equispaced.
         """
-        from ..ops.brownian import min_kernel_spectrum
+        from ..ops.brownian import min_kernel_eigenvalues, min_kernel_project
 
         n = x.shape[-1]
         dx = x[..., 1] - x[..., 0]
         x0 = x[..., 0]
-        mu, u, w = min_kernel_spectrum(n, x.dtype)
-        hp = jax.lax.Precision.HIGHEST
-        p_y = jnp.einsum("...j,jk->...k", y, u, precision=hp)
-        p_t = jnp.einsum("...j,jk->...k", x, u, precision=hp)
+        mu = min_kernel_eigenvalues(n, x.dtype)
+        p_y = min_kernel_project(y)
+        p_t = min_kernel_project(x)
+        w = min_kernel_project(jnp.ones((n,), x.dtype))
         return {"mu": mu, "dx": dx, "x0": x0, "p_y": p_y, "p_t": p_t,
                 "w": w}
 

@@ -122,14 +122,15 @@ class MultitaskBMGP(ConfigEq):
                 "spectral_cache/mll_spectral require the BM data kernel; "
                 "use mll for FBM"
             )
-        from ..ops.brownian import min_kernel_spectrum
+        from ..ops.brownian import min_kernel_eigenvalues, min_kernel_project
 
         n = x.shape[-1]
         dx = x[..., 1] - x[..., 0]
         x0 = x[..., 0]
-        mu, u, w = min_kernel_spectrum(n, x.dtype)
-        p_y = jnp.einsum("...jt,jk->...kt", y, u, precision=_HIGHEST)
-        p_x = jnp.einsum("...j,jk->...k", x, u, precision=_HIGHEST)
+        mu = min_kernel_eigenvalues(n, x.dtype)
+        p_y = min_kernel_project(y, axis=-2)
+        p_x = min_kernel_project(x)
+        w = min_kernel_project(jnp.ones((n,), x.dtype))
         return {"mu": mu, "dx": dx, "x0": x0, "p_y": p_y, "p_x": p_x,
                 "w": w}
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "bm_logdet",
     "bm_kl_against_prior",
     "future_grid_ok",
+    "min_kernel_eigenvalues",
+    "min_kernel_project",
     "min_kernel_spectrum",
     "spectral_n_ok",
 ]
@@ -86,9 +89,12 @@ def spectral_n_ok(n: int) -> bool:
     The integer angle reduction computes ``(2k+1) * j`` with
     ``k <= n-1, j <= n`` — max intermediate ``(2n-1) n`` — in int32;
     beyond ``n = 32768`` the products overflow and the eigenvectors
-    silently degrade.  Callers that auto-select the spectral path
-    (``train.py``, ``parallel/pipeline.py``) fall back to the Kalman MLL
-    above this bound, which handles any ``n``.
+    silently degrade.  This bound applies ONLY to the materialized
+    ``n x n`` basis: :func:`min_kernel_project` dispatches to an FFT
+    transform above its crossover (well inside the bound), so the
+    spectral MLL paths themselves are valid at any ``n`` and the
+    auto-selecting callers (``train.py``, ``parallel/pipeline.py``) no
+    longer consult this predicate.
     """
     return (2 * n - 1) * n < 2**31
 
@@ -134,6 +140,98 @@ def min_kernel_spectrum(n: int, dtype=jnp.float32):
     )
     return (jnp.asarray(mu, dtype), jnp.asarray(u, dtype),
             jnp.sum(jnp.asarray(u, dtype), axis=0))
+
+
+def min_kernel_eigenvalues(n: int, dtype=jnp.float32):
+    """Eigenvalues ``mu_k`` of the integer min-matrix alone — O(n), any n.
+
+    The angles ``(2k+1) pi / (2(2n+1))`` lie in ``(0, pi/2)`` for every
+    ``k < n``, so unlike the eigenvector build there is no argument
+    reduction and no int32 bound: exact at any ``n``.
+    """
+    k = jnp.arange(n)
+    mu = 1.0 / (
+        4.0 * jnp.sin((2 * k + 1) * (math.pi / (2 * (2 * n + 1)))) ** 2
+    )
+    return jnp.asarray(mu, dtype)
+
+
+# Above this length the projection drops the materialized n x n basis for
+# the O(n log n) FFT transform below; the memory crossover is what
+# matters (the basis is ~67 MB f32 at 4096, ~1 GB at 16384), and both
+# branches agree to float32 noise (pinned in tests).
+_PROJECT_FFT_MIN_N = 4096
+
+
+def min_kernel_project(y, axis: int = -1, method: str = "auto"):
+    """``U^T y`` for the closed-form min-matrix eigenbasis, along ``axis``.
+
+    ``(U^T y)[k] = 2/sqrt(2n+1) * sum_{j=1..n} y_j sin((2k+1) j pi /
+    (2n+1))`` — the odd-frequency half of a DST on the length-``2n+1``
+    circle.  Two evaluation strategies:
+
+    * ``"matmul"`` — one einsum against the materialized basis
+      (:func:`min_kernel_spectrum`): MXU-friendly and cheap at small
+      ``n``, but O(n^2) memory and bounded by ``spectral_n_ok``.
+    * ``"fft"`` — a Bluestein chirp-z evaluation with POWER-OF-TWO FFTs
+      only: with ``theta = pi/m``, the identity ``2jk = j^2 + k^2 -
+      (j-k)^2`` turns the sum into
+
+          ``S[k] = -Im( e^{-i theta k^2} *
+                        sum_j [y_j e^{-i theta (j^2+j)}] e^{i theta (j-k)^2}
+                      ) * 2/sqrt(m)``
+
+      — a linear convolution against the symmetric chirp
+      ``c_t = e^{i theta t^2}``, computed by three length-``L`` FFTs
+      with ``L = nextpow2(3n)``.  O(n log n) time, O(n) memory, no n x n
+      object, valid for ANY ``n`` — this lifts the spectral MLL paths
+      past the materialized basis' 32k bound and removes the last
+      quadratic-in-n allocation from the pipeline.  Power-of-two lengths
+      matter: XLA:TPU lowers other FFT sizes as a *materialized dense
+      DFT matrix* (observed: a direct length-80001 FFT at n=40000
+      allocates f32[80001, 80001] = 25.6 GB and OOMs), so the textbook
+      odd-length transform is exactly the wrong shape for this backend.
+      Chirp phase indices ``(j^2+j) mod 2m`` are reduced host-side in
+      int64 (they overflow int32 past n ~ 46k), keeping every traced
+      angle in ``[0, 2 pi)``.
+
+    ``"auto"`` (default) picks matmul below ``_PROJECT_FFT_MIN_N`` and
+    FFT above.  Linear in ``y`` either way; consumed once per fit by
+    ``BMGP.spectral_cache`` / ``MultitaskBMGP.spectral_cache``.
+    """
+    import numpy as np
+
+    y = jnp.asarray(y)
+    y = jnp.moveaxis(y, axis, -1)
+    n = y.shape[-1]
+    if method not in ("auto", "matmul", "fft"):
+        raise ValueError("method must be 'auto', 'matmul' or 'fft'")
+    if method == "matmul" or (method == "auto" and n <= _PROJECT_FFT_MIN_N):
+        _, u, _ = min_kernel_spectrum(n, y.dtype)
+        out = jnp.einsum("...j,jk->...k", y, u,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(out, -1, axis)
+    m = 2 * n + 1
+    theta = math.pi / m
+    # host-side int64 phase-index reduction (n is static): e^{-i theta q}
+    # is periodic in q with period 2m, so reduce the quadratic indices
+    # exactly before any float sees them
+    j = np.arange(n + 1, dtype=np.int64)
+    qb = (j * j + j) % (2 * m)                        # input chirp
+    t = np.arange(-n, n - 1, dtype=np.int64)
+    qc = (t * t) % (2 * m)                            # convolution chirp
+    k = np.arange(n, dtype=np.int64)
+    qk = (k * k) % (2 * m)                            # output chirp
+    ph_b = jnp.exp(-1j * (theta * jnp.asarray(qb[1:], y.dtype)))
+    ph_c = jnp.exp(1j * (theta * jnp.asarray(qc, y.dtype)))
+    ph_k = jnp.exp(-1j * (theta * jnp.asarray(qk, y.dtype)))
+    lfft = 1 << (3 * n - 1).bit_length()
+    b = jnp.zeros((*y.shape[:-1], lfft), ph_b.dtype)
+    b = b.at[..., 1:n + 1].set(y * ph_b)
+    c = jnp.zeros((lfft,), ph_c.dtype).at[:2 * n - 1].set(ph_c)
+    conv = jnp.fft.ifft(jnp.fft.fft(b, axis=-1) * jnp.fft.fft(c), axis=-1)
+    out = -jnp.imag(ph_k * conv[..., n:2 * n]) * (2.0 / math.sqrt(m))
+    return jnp.moveaxis(out.astype(y.dtype), -1, axis)
 
 
 def bm_increments(x):

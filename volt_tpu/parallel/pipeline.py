@@ -213,12 +213,10 @@ def _fit_forecast_jit(key, train_x, train_y, test_x,
     # ---- stage 2: vol GP (factorization-free MLL per Adam step) -----------
     log_vol = jnp.log(vol)
     bm = BMGP(kernel=config.kernel)
-    from ..ops.brownian import spectral_n_ok
-
-    # n >= 11 is guaranteed by _check_min_length at both public entries,
-    # so only the spectrum's int32 upper bound gates the dispatch here.
-    if (config.kernel == "bm" and config.vol_mll == "spectral"
-            and spectral_n_ok(train_x.shape[-1])):
+    # n >= 11 is guaranteed by _check_min_length at both public entries;
+    # no upper bound — past the materialized basis' int32 bound the
+    # spectral cache projects via FFT (ops/brownian.min_kernel_project).
+    if config.kernel == "bm" and config.vol_mll == "spectral":
         # closed-form min(x) eigensystem (equispaced grids): two basis
         # projections per fit, elementwise O(n) per step, no scan.
         vol_cache = bm.spectral_cache(train_x, log_vol)

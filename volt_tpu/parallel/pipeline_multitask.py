@@ -163,14 +163,14 @@ def _fit_forecast_mt_jit(key, train_x, train_ys, test_x,
     vols = lik.expected_scale(packed["lik"], mean, var).T  # (T, n)
 
     # ---- stage 2: multitask vol GP (Kronecker MLL over log vols) ----------
-    from ..ops.brownian import spectral_n_ok
-
     mt_vol = MultitaskBMGP(num_tasks=num_tasks, rank=config.rank)
     log_vols_nt = jnp.log(vols).T  # (n, T)
     n = log_vols_nt.shape[-2]
     vol_init = (mt_vol.init(key=k_lik) if init_params is None
                 else init_params["vol"])
-    if config.vol_mll == "spectral" and spectral_n_ok(n):
+    # no n bound: the spectral cache projects via FFT past the
+    # materialized basis' limit (ops/brownian.min_kernel_project)
+    if config.vol_mll == "spectral":
         cache = mt_vol.spectral_cache(train_x, log_vols_nt)
         vol_loss_fn = lambda p: -mt_vol.mll_spectral(p, cache, n, num_tasks)
     else:

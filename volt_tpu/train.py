@@ -335,18 +335,18 @@ def train_vol_model(train_x, vol_path, train_iters: int = 1000,
     ``vol_mll`` overrides the MLL-path auto-selection: ``"spectral"``
     forces the closed-form equispaced eigensystem (caller asserts the
     grid is uniform), ``"kalman"`` forces the any-grid O(n) filter,
-    ``None`` auto-selects (spectral iff the grid checks equispaced and
-    ``n`` is within the spectrum's int32-exact bound).
+    ``None`` auto-selects (spectral iff the grid checks equispaced —
+    valid at any ``n``: past the materialized basis' bound the cache
+    projects via FFT, ``ops/brownian.min_kernel_project``).
     """
     train_x = jnp.asarray(train_x)
     log_vol = jnp.log(jnp.asarray(vol_path))
     module = BMGP(kernel=kernel)
     params = module.init()
-    from .ops.brownian import spectral_n_ok
-
     if vol_mll is None:
-        spectral = (_is_equispaced(train_x)
-                    and spectral_n_ok(train_x.shape[-1]))
+        # equispaced is the only gate: past the materialized basis'
+        # int32 bound the spectral cache projects via FFT (any n).
+        spectral = _is_equispaced(train_x)
     elif vol_mll == "spectral":
         spectral = True
     elif vol_mll == "kalman":
@@ -534,12 +534,10 @@ def train_volt_multitask(train_x, train_ys, vol_paths, train_iters: int = 400,
         print("data-model final losses:",
               np.asarray(losses_b[:, -1]) if train_iters else "(no iters)")
 
-    from .ops.brownian import spectral_n_ok
-
     mt = MultitaskBMGP(num_tasks=num_tasks, rank=rank)
     log_vols_nt = jnp.log(vol_paths).T  # (n, T)
     n = log_vols_nt.shape[-2]
-    if _is_equispaced(train_x) and spectral_n_ok(n):
+    if _is_equispaced(train_x):
         # factorization-free: closed-form data spectrum + T x T blocks
         # (models/multitask.py mll_spectral) instead of an N x N eigh
         # per Adam step.
