@@ -119,6 +119,33 @@ class TestSpectralMLLViaFFT:
         dense = float(mt.mll(p, x, y))
         np.testing.assert_allclose(fast, dense, rtol=3e-5, atol=3e-6)
 
+    def test_pipeline_end_to_end_through_fft_branch(self, rng, monkeypatch):
+        """The full jitted pipeline with the FFT projection engaged
+        (crossover forced low): runs ok, and the vol-GP loss trajectory
+        matches the matmul-branch run to spectral-agreement tolerance."""
+        from volt_tpu.parallel import PipelineConfig, fit_forecast
+
+        n = 60
+        rets = 0.2 * np.sqrt(DT) * rng.standard_normal(n)
+        prices = 100.0 * np.exp(np.cumsum(rets)).astype(np.float32)
+        x = jnp.arange(n - 1, dtype=jnp.float32) * DT + DT
+        tx = x[-1] + DT * jnp.arange(1, 6)
+        cfg = PipelineConfig(gpcv_iters=10, vol_iters=10, data_iters=10,
+                             nsample=32, k=10)
+        # the branch choice is trace-time Python: clear the jit cache
+        # around each run or the second call reuses the first's program
+        monkeypatch.setattr(brownian, "_PROJECT_FFT_MIN_N", 8)
+        jax.clear_caches()
+        out, aux = fit_forecast(jax.random.key(0), x, jnp.asarray(prices),
+                                tx, cfg)
+        assert bool(aux["ok"]) and bool(jnp.all(jnp.isfinite(out)))
+        monkeypatch.setattr(brownian, "_PROJECT_FFT_MIN_N", 4096)
+        jax.clear_caches()
+        out2, aux2 = fit_forecast(jax.random.key(0), x,
+                                  jnp.asarray(prices), tx, cfg)
+        np.testing.assert_allclose(float(aux["vol_loss"]),
+                                   float(aux2["vol_loss"]), rtol=1e-4)
+
     def test_train_vol_model_auto_selects_spectral_beyond_bound(self, rng):
         """train_vol_model's auto dispatch no longer falls back to Kalman
         above the basis bound — the spectral (FFT) path runs and fits."""
