@@ -197,7 +197,12 @@ class TestHarnessSmoke:
         ("examples/multi_asset.py",
          ["--assets", "2", "--steps", "64", "--iters", "3"],
          "cross-asset forecast correlation"),
-    ], ids=["example", "option_pricing", "live_serving", "multi_asset"])
+        ("examples/long_series.py",
+         ["--steps", "96", "--horizon", "6", "--iters", "3",
+          "--nsample", "16"],
+         "long-series quantile fan"),
+    ], ids=["example", "option_pricing", "live_serving", "multi_asset",
+            "long_series"])
     def test_example_scripts(self, script, argv, expect):
         """Every user-facing example runs end-to-end at toy shapes (the
         mtwind fan and calibration study have dedicated tests)."""
