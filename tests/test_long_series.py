@@ -127,7 +127,7 @@ class TestLongSeries:
         vol = jnp.asarray((0.15 + 0.1 * rng.random(N_LONG)).astype(np.float32))
         from volt_tpu.kernels import VolatilityKernel
 
-        v = VolatilityKernel.integral(train_x, vol)
+        v = VolatilityKernel().integral(train_x, vol)
         r = jnp.asarray(
             (0.05 * rng.standard_normal(N_LONG)).astype(np.float32)
         )
