@@ -98,6 +98,39 @@ class TestNgvi:
         with pytest.raises(ValueError, match="tridiag"):
             ngvi_tridiag_fit(module, {}, None, None, 1)
 
+    def test_pipeline_ngvi_branch(self):
+        """The batched pipeline's opt-in NGVI branch (the long-series
+        recipe: gpcv_opt="ngvi" with a small gpcv_iters — BENCH_SCALING
+        round 5; the throughput default stays the reference-protocol
+        Adam).  End-to-end finite, ok lanes up, and close to the Adam
+        config's forecast fan at matched draws."""
+        import dataclasses
+
+        from volt_tpu.parallel import PipelineConfig, fit_forecast
+
+        rng = np.random.default_rng(11)
+        n = 80
+        rets = 0.2 * np.sqrt(DT) * rng.standard_normal(n)
+        prices = 100.0 * np.exp(np.cumsum(rets)).astype(np.float32)
+        x = jnp.arange(n - 1, dtype=jnp.float32) * DT + DT
+        tx = x[-1] + DT * jnp.arange(1, 6)
+        adam_cfg = PipelineConfig(gpcv_iters=150, vol_iters=30,
+                                  data_iters=30, nsample=128, k=10,
+                                  output="quantiles")
+        assert adam_cfg.gpcv_opt == "adam"  # the throughput default
+        ngvi_cfg = dataclasses.replace(adam_cfg, gpcv_opt="ngvi",
+                                       gpcv_iters=30)
+        out_a, aux_a = fit_forecast(jax.random.key(0), x,
+                                    jnp.asarray(prices), tx, adam_cfg)
+        out_n, aux_n = fit_forecast(jax.random.key(0), x,
+                                    jnp.asarray(prices), tx, ngvi_cfg)
+        assert bool(aux_n["ok"]) and bool(aux_a["ok"])
+        assert np.isfinite(np.asarray(out_n)).all()
+        # both configs infer the same (constant-ish) vol regime: the
+        # median forecast fans agree to a few percent of price level
+        np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_a),
+                                   rtol=0.08)
+
     def test_batched_under_vmap(self):
         """The pipeline vmaps the fit over assets — the NGVI scan must be
         vmap-clean and keep per-asset lanes independent."""

@@ -29,8 +29,17 @@ likelihood — every piece is O(n):
 Measured on the SABR oracle (seed 2019): n=2000 reaches the family
 optimum (rel-err 0.222 / ELBO -0.435) in **10 iterations** — what Adam
 needed 4000 for — and convergence speed is independent of n.  Per-step
-cost matches an Adam ELBO step (both are a handful of O(n) elementwise
-ops + scans).
+cost matches an Adam ELBO step on CPU, but NOT on TPU: the extra
+bidiagonal factor/solve/Takahashi passes roughly double the
+sequential-scan count, and on the chip those log-depth scans dominate —
+measured 4.7x Adam's per-iteration cost at B=16/n=999 (0.323 s vs
+0.068 s per 300-iter stage).  The n-independent convergence more than
+pays for it (30 NGVI iterations beat 300+ Adam iterations on both cost
+and quality), so the recipe is *few* NGVI steps, not an NGVI swap at a
+fixed iteration budget — ``PipelineConfig.gpcv_opt`` therefore defaults
+to the reference-protocol ``"adam"`` and documents ``"ngvi"`` +
+``gpcv_iters~30`` as the long-series configuration (BENCH_SCALING
+round 5).
 
 The reference has no analog: gpytorch's ``NGD`` exists but the paper's
 training uses plain Adam on the dense Cholesky parameterization

@@ -55,11 +55,18 @@ class PipelineConfig:
     # contains the full-rank optimum for the BM prior) or "full" (the
     # reference's dense n x n Cholesky).  See models/gpcv.py.
     gpcv_q: str = "tridiag"
-    # GPCV optimizer: "ngvi" (natural-gradient VI on the tridiag family —
-    # n-independent convergence in tens of iterations, gp/natural.py) or
-    # "adam" (the reference's loop, train_utils.py:40; the only choice
-    # for gpcv_q="full").
-    gpcv_opt: str = "ngvi"
+    # GPCV optimizer: "adam" (the reference's loop, train_utils.py:40;
+    # the only choice for gpcv_q="full") or "ngvi" (natural-gradient VI
+    # on the tridiag family — n-independent convergence in tens of
+    # iterations, gp/natural.py).  Adam is the default because it is the
+    # reference's protocol and ~4.7x cheaper per iteration on TPU (the
+    # NGVI step adds ~2x the sequential-scan count; measured at
+    # B=16/n=999: 0.323 s vs 0.068 s per 300-iter stage — BENCH_SCALING
+    # round 5).  Past n ~ 2000 Adam at fixed iters under-converges
+    # (BENCH_SCALING round-4/5 tables); there the better config on BOTH
+    # axes is gpcv_opt="ngvi" with gpcv_iters~30 (reaches the family
+    # optimum n-independently, costing LESS than 300 Adam iters).
+    gpcv_opt: str = "adam"
     # vol-GP MLL path: "spectral" (closed-form min(x) eigensystem,
     # elementwise O(n)/step — REQUIRES an equispaced train_x, which
     # fit_forecast_batch validates when the grid is concrete) or
